@@ -1,0 +1,69 @@
+"""Global configuration for the TPU ray tracer.
+
+The reference hardcodes these constants in >6 places (see
+/root/reference/src/ShortestPath.jl:38, src/GridAnnulus.jl:73,262,297,324,
+src/topology/topology.jl:184-192).  Here they live in one dataclass.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+# Earth radius in km (reference: src/ShortestPath.jl:38 `const R = 6371.0`)
+R = 6371.0
+
+# Depths (km) of the seismic velocity discontinuities of the AK135 model.
+# Reference: src/GridAnnulus.jl:73 `rl = R .- [20, 35, 210, 410, 660, 2740, 2891.5]`.
+DISCONTINUITY_DEPTHS: Tuple[float, ...] = (20.0, 35.0, 210.0, 410.0, 660.0, 2740.0, 2891.5)
+
+# Radii of the discontinuities (outermost first), exact in float64.
+DISCONTINUITY_RADII: Tuple[float, ...] = tuple(R - d for d in DISCONTINUITY_DEPTHS)
+
+# Layer boundary radii including surface and CMB-side sentinel used by
+# `constrain2layers` (reference: src/GridAnnulus.jl:297).
+LAYER_RADII: Tuple[float, ...] = (R,) + DISCONTINUITY_RADII
+
+# Radial offset applied to duplicated (twin) nodes at discontinuities
+# (reference: src/GridAnnulus.jl:938 `gr.r[idx] .- 0.05`).
+TWIN_OFFSET = 0.05
+
+# +-1 km buffer used when sampling velocity right at a discontinuity
+# (reference: src/ShortestPath.jl:84, :105-106).
+VELOCITY_BUFFER = 1.0
+
+# Inner cut-off radius of the annulus grid; keeps the nodal degree of the
+# core fan bounded (reference: src/GridAnnulus.jl:84 `r_in = 0.1`).
+R_INNER = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Runtime knobs for the SSSP solvers."""
+
+    dtype: str = "float32"        # device dtype for distances/weights
+    max_iters: int = 100_000      # hard cap on the while_loop
+    # pad node count to a multiple of this (TPU tile alignment: 8*128)
+    node_pad: int = 1024
+    # pad neighbour count (ELL width) to a multiple of this
+    degree_pad: int = 8
+    use_pallas: bool = False      # use the Pallas relaxation kernel
+    dual_velocity: bool = False   # head/tail above/below velocity pick
+    log_every: int = 0            # iteration stats logging (0 = off)
+
+
+DEFAULT_SOLVER_CONFIG = SolverConfig()
+
+
+def discontinuity_mask(r: np.ndarray) -> np.ndarray:
+    """Boolean mask of nodes lying exactly on one of the 7 discontinuities.
+
+    Exact float equality is intentional: grid construction places boundary
+    nodes at exactly these radii (the reference relies on the same equality,
+    e.g. src/ShortestPath.jl:81 `r[i] in rlayer`).
+    """
+    mask = np.zeros(r.shape, dtype=bool)
+    for rad in DISCONTINUITY_RADII:
+        mask |= r == rad
+    return mask

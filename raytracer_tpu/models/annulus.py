@@ -1,0 +1,433 @@
+"""2-D annulus (Earth cross-section) mesh + graph builder.
+
+Host-side, NumPy-only equivalent of the reference mesh layer
+(src/GridAnnulus.jl): primary polar lattice with the 7 AK135 discontinuity
+radii forced into the radial column, quad elements + triangle fan to the
+core point, secondary nodes subdividing every element edge, layer
+constraining of element neighbours, and discontinuity node doubling with a
+halo (twin) table.
+
+Differences from the reference (intentional, TPU-first):
+  * runs once on host and emits flat NumPy arrays (ragged element->node
+    lists only as an intermediate), feeding the CSR/ELL packing in
+    ops/graph.py; no Dict/Set-based structures survive.
+  * `edge_connectivity` dedupes edges by sorted node pair.  The reference
+    implementation (src/GridAnnulus.jl:515-595) has an indexing bug
+    (`el2edge[i, ieln]` writes slot 1 regardless of which edge matched)
+    that creates duplicated coincident secondary nodes; we build the
+    intended unique-edge set instead.
+  * element neighbours exclude links through the core-centre point,
+    matching the reference behaviour that falls out of its incidence loop
+    iterating `node in 1:nel` (src/GridAnnulus.jl:490) which skips the
+    centre node (index nel+1).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..config import DISCONTINUITY_RADII, LAYER_RADII, R, R_INNER, TWIN_OFFSET
+from ..utils.coords import polar2cartesian
+
+
+@dataclasses.dataclass
+class Grid2D:
+    """Annulus grid (reference struct: src/GridAnnulus.jl:9-21).
+
+    x, z        : cartesian node coordinates
+    theta, r    : polar node coordinates (theta may exceed 2*pi for nodes
+                  generated on seam-crossing edges, as in the reference)
+    e2n         : per-element node lists (vertices first, then secondary)
+    ntheta, nr  : lattice dimensions (nr already includes the 7 forced radii)
+    nel, nnods  : element / node counts
+    neighbours  : per-element neighbour element lists
+    is_quad     : bool per element (True = quad, False = triangle)
+    """
+
+    x: np.ndarray
+    z: np.ndarray
+    theta: np.ndarray
+    r: np.ndarray
+    e2n: List[np.ndarray]
+    ntheta: int
+    nr: int
+    nel: int
+    nnods: int
+    neighbours: List[np.ndarray]
+    is_quad: np.ndarray
+
+    def __len__(self) -> int:
+        return self.nnods
+
+
+def primary_grid(ntheta: int, nr: int, r_out: float = R) -> Grid2D:
+    """Primary polar lattice + core point (src/GridAnnulus.jl:72-142).
+
+    The radial column is nr + 7 values: linspace(R_INNER, r_out, nr) merged
+    with the 7 discontinuity radii, sorted ascending.  Nodes are laid out
+    column-major in theta: node (it, ir) -> it * nr_tot + ir; the core
+    centre point is the last node.
+    """
+    rl = np.array(DISCONTINUITY_RADII, dtype=np.float64)
+    nr_tot = nr + len(rl)
+
+    nn = nr_tot * ntheta
+    nels = (nr_tot - 1) * ntheta
+    dtheta = 2 * np.pi / ntheta
+
+    r_column = np.sort(np.concatenate([rl, np.linspace(R_INNER, r_out, nr_tot - len(rl))]))
+
+    r_nodes = np.empty(nn + 1, dtype=np.float64)
+    th_nodes = np.empty(nn + 1, dtype=np.float64)
+    cols = np.arange(ntheta)
+    r_nodes[:nn] = np.tile(r_column, ntheta)
+    th_nodes[:nn] = np.repeat(cols * dtheta, nr_tot)
+    r_nodes[nn] = 0.0   # core centre
+    th_nodes[nn] = 0.0
+
+    # quad elements: element (it, k) = it*(nr_tot-1)+k has nodes
+    # [bottom-left, bottom-right, top-right, top-left] with wrap at the seam
+    it = np.repeat(cols, nr_tot - 1)
+    k = np.tile(np.arange(nr_tot - 1), ntheta)
+    n1 = it * nr_tot + k
+    n2 = ((it + 1) % ntheta) * nr_tot + k
+    quads = np.stack([n1, n2, n2 + 1, n1 + 1], axis=1).astype(np.int64)
+
+    # triangle fan to the core point: [centre, base_i, base_{i+1}]
+    tris = np.stack(
+        [np.full(ntheta, nn, dtype=np.int64), cols * nr_tot, ((cols + 1) % ntheta) * nr_tot],
+        axis=1,
+    )
+
+    e2n = [quads[i] for i in range(nels)] + [tris[i] for i in range(ntheta)]
+    is_quad = np.concatenate([np.ones(nels, bool), np.zeros(ntheta, bool)])
+
+    neighbours = element_neighbours(e2n, nnods_shared=nn)
+
+    x, z = polar2cartesian(th_nodes, r_nodes)
+    return Grid2D(
+        x=x, z=z, theta=th_nodes, r=r_nodes, e2n=e2n,
+        ntheta=ntheta, nr=nr_tot, nel=len(e2n), nnods=nn + 1,
+        neighbours=neighbours, is_quad=is_quad,
+    )
+
+
+def element_neighbours(e2n: List[np.ndarray], nnods_shared: int) -> List[np.ndarray]:
+    """Elements sharing >=1 node among nodes [0, nnods_shared).
+
+    Equivalent of src/GridAnnulus.jl:473-507.  The shared-node range
+    excludes the core centre point (see module docstring).
+    """
+    rows, cols = [], []
+    for e, nodes in enumerate(e2n):
+        keep = nodes[nodes < nnods_shared]
+        rows.append(np.full(len(keep), e, dtype=np.int64))
+        cols.append(keep)
+    nel = len(e2n)
+    inc = sp.csr_matrix(
+        (np.ones(sum(len(rw) for rw in rows), dtype=np.int32), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(nel, nnods_shared),
+    )
+    adj = (inc @ inc.T).tocsr()
+    adj.setdiag(0)
+    adj.eliminate_zeros()
+    return [adj.indices[adj.indptr[e]:adj.indptr[e + 1]].astype(np.int64) for e in range(nel)]
+
+
+# local edge maps (src/GridAnnulus.jl:519-524)
+_QUAD_EDGES = np.array([[0, 1], [1, 2], [2, 3], [3, 0]])
+_TRI_EDGES = np.array([[0, 1], [1, 2], [2, 0]])
+
+
+def edge_connectivity(gr: Grid2D):
+    """Unique mesh edges and the elements sharing them.
+
+    Returns (edges, edge2el) where edges is (E, 2) with node indices sorted
+    ascending per edge and edge2el maps edge id -> list of element ids.
+    Intended semantics of src/GridAnnulus.jl:515-595 (see module docstring
+    for the deviation from its buggy slot bookkeeping).
+    """
+    pair_list = []
+    owner = []
+    for e, nodes in enumerate(gr.e2n):
+        local = _QUAD_EDGES if gr.is_quad[e] else _TRI_EDGES
+        pairs = nodes[local]            # (nedge, 2)
+        pair_list.append(np.sort(pairs, axis=1))
+        owner.append(np.full(len(local), e, dtype=np.int64))
+    pairs = np.concatenate(pair_list)   # (sum_edges, 2)
+    owner = np.concatenate(owner)
+
+    edges, inverse = np.unique(pairs, axis=0, return_inverse=True)
+    order = np.argsort(inverse, kind="stable")
+    inv_sorted = inverse[order]
+    owner_sorted = owner[order]
+    starts = np.searchsorted(inv_sorted, np.arange(len(edges)))
+    ends = np.append(starts[1:], len(inv_sorted))
+    edge2el = [owner_sorted[s:e] for s, e in zip(starts, ends)]
+    return edges, edge2el
+
+
+def secondary_nodes(gr: Grid2D, spacing: float = 20.0) -> Grid2D:
+    """Subdivide every element edge with nodes every `spacing` km.
+
+    Vectorised equivalent of src/GridAnnulus.jl:607-698: per edge of length
+    L (arc length for circumferential edges, chord for radial ones),
+    floor(L/spacing) interior points are placed at uniform parametric
+    fractions and appended to the node set; each new node joins the
+    element->node list of every element sharing the edge.
+    """
+    edges, edge2el = edge_connectivity(gr)
+    th, r = gr.theta, gr.r
+    icenter = gr.nr * gr.ntheta  # core centre node id
+    eps = 2 * np.pi - (1 - 1 / gr.ntheta)  # seam-wrap threshold (ref :621)
+
+    th1, th2 = th[edges[:, 0]].copy(), th[edges[:, 1]].copy()
+    r1, r2 = r[edges[:, 0]], r[edges[:, 1]]
+
+    # seam wrap fix + centre-edge collapse (src/GridAnnulus.jl:710-725)
+    has_center = (edges[:, 0] == icenter) | (edges[:, 1] == icenter)
+    wrap = ~has_center & (np.abs(th1 - th2) >= eps)
+    shift1 = wrap & (th1 < np.pi)
+    shift2 = wrap & ~shift1 & (th2 < np.pi)
+    th1 = np.where(shift1, th1 + 2 * np.pi, th1)
+    th2 = np.where(shift2, th2 + 2 * np.pi, th2)
+    thmax = np.maximum(th1, th2)
+    th1 = np.where(has_center, thmax, th1)
+    th2 = np.where(has_center, thmax, th2)
+
+    # edge length: radial edges use chord (= |r2-r1|), others arc length
+    radial = th1 == th2
+    L = np.where(radial, np.abs(r2 - r1), r1 * np.abs(th2 - th1))
+    npoints = (L // spacing).astype(np.int64)
+
+    total = int(npoints.sum())
+    edge_of = np.repeat(np.arange(len(edges)), npoints)
+    offsets = np.concatenate([[0], np.cumsum(npoints)[:-1]])
+    j = np.arange(total) - np.repeat(offsets, npoints) + 1  # 1..npoints per edge
+    frac = j / (npoints[edge_of] + 1)
+
+    th_mid = th1[edge_of] + (th2[edge_of] - th1[edge_of]) * frac
+    r_mid = r1[edge_of] + (r2[edge_of] - r1[edge_of]) * frac
+
+    nnods0 = gr.nnods
+    new_ids = nnods0 + np.arange(total)
+
+    # append new nodes to every element sharing their edge
+    e2n = [list(nodes) for nodes in gr.e2n]
+    for eid, els in enumerate(edge2el):
+        lo, hi = offsets[eid], offsets[eid] + npoints[eid]
+        if hi > lo:
+            ids = new_ids[lo:hi]
+            for el in els:
+                e2n[el].extend(ids.tolist())
+    e2n = [np.asarray(nodes, dtype=np.int64) for nodes in e2n]
+
+    th_new = np.concatenate([th, th_mid])
+    r_new = np.concatenate([r, r_mid])
+    x, z = polar2cartesian(th_new, r_new)
+    return Grid2D(
+        x=x, z=z, theta=th_new, r=r_new, e2n=e2n,
+        ntheta=gr.ntheta, nr=gr.nr, nel=gr.nel, nnods=len(x),
+        neighbours=gr.neighbours, is_quad=gr.is_quad,
+    )
+
+
+def _element_centers(gr: Grid2D) -> np.ndarray:
+    """Mean radius of the primary vertices of each element.
+
+    Matches src/GridAnnulus.jl:304-311 including the 0.33 (not 1/3)
+    triangle factor.
+    """
+    centers = np.empty(gr.nel, dtype=np.float64)
+    for e, nodes in enumerate(gr.e2n):
+        if gr.is_quad[e]:
+            centers[e] = gr.r[nodes[:4]].sum() * 0.25
+        else:
+            centers[e] = gr.r[nodes[:3]].sum() * 0.33
+    return centers
+
+
+def find_boundary(center: np.ndarray, rlayer=LAYER_RADII) -> np.ndarray:
+    """Layer id of a radius (vectorised src/GridAnnulus.jl:374-381).
+
+    Returns 1 for radii below the deepest boundary, i+1 (1-based) for radii
+    between rlayer[i-1] and rlayer[i].
+    """
+    rl = np.asarray(rlayer)
+    center = np.asarray(center)
+    out = np.ones(center.shape, dtype=np.int64)
+    for i in range(len(rl) - 1):
+        between = (rl[i] > center) & (center > rl[i + 1])
+        out = np.where(between, i + 2, out)
+    return out
+
+
+def constrain2layers(gr: Grid2D) -> None:
+    """Drop element-neighbour links crossing a velocity discontinuity.
+
+    In-place, like src/GridAnnulus.jl:296-321.  Element layer ids come from
+    the mean radius of the primary vertices.
+    """
+    layer = find_boundary(_element_centers(gr))
+    for e in range(gr.nel):
+        nbrs = gr.neighbours[e]
+        gr.neighbours[e] = nbrs[layer[nbrs] == layer[e]]
+
+
+def discontinuous_boundaries(gr: Grid2D, spacing: float) -> Tuple[Grid2D, np.ndarray]:
+    """Double nodes on the 7 discontinuities; build the halo twin table.
+
+    Matches src/GridAnnulus.jl:910-968: scanning elements in order, every
+    element whose third vertex radius lies on a discontinuity (i.e. the
+    element sits just *below* it) gets its boundary-radius nodes replaced by
+    fresh twin nodes offset 0.05 km inward.  Each (element, node) occurrence
+    yields its own twin, exactly as the reference counter does.  The halo
+    table holds both (original, twin) and (twin, original) rows.
+    """
+    rl = np.array(DISCONTINUITY_RADII, dtype=np.float64)
+    r = gr.r
+    nnods = gr.nnods
+
+    orig_of_twin: List[int] = []     # original node id per new twin
+    counter = nnods
+    for e in range(gr.nel):
+        nodes = gr.e2n[e]
+        if not gr.is_quad[e]:
+            continue
+        top_r = r[nodes[2]]
+        hit = np.nonzero(top_r == rl)[0]
+        if len(hit) == 0:
+            continue
+        boundary_r = rl[hit[0]]
+        on_boundary = r[nodes] == boundary_r
+        n_new = int(on_boundary.sum())
+        if n_new == 0:
+            continue
+        new_ids = np.arange(counter, counter + n_new, dtype=np.int64)
+        orig_of_twin.extend(nodes[on_boundary].tolist())
+        replaced = nodes.copy()
+        replaced[on_boundary] = new_ids
+        gr.e2n[e] = replaced
+        counter += n_new
+
+    idx = np.asarray(orig_of_twin, dtype=np.int64)
+    ntw = len(idx)
+    th_twin = gr.theta[idx]
+    r_twin = gr.r[idx] - TWIN_OFFSET
+    x_twin, z_twin = polar2cartesian(th_twin, r_twin)
+
+    halo = np.empty((2 * ntw, 2), dtype=np.int64)
+    twin_ids = nnods + np.arange(ntw)
+    halo[:ntw, 0] = idx
+    halo[:ntw, 1] = twin_ids
+    halo[ntw:, 0] = twin_ids
+    halo[ntw:, 1] = idx
+
+    gr2 = Grid2D(
+        x=np.concatenate([gr.x, x_twin]),
+        z=np.concatenate([gr.z, z_twin]),
+        theta=np.concatenate([gr.theta, th_twin]),
+        r=np.concatenate([gr.r, r_twin]),
+        e2n=gr.e2n,
+        ntheta=gr.ntheta, nr=gr.nr, nel=gr.nel,
+        nnods=nnods + ntw,
+        neighbours=gr.neighbours, is_quad=gr.is_quad,
+    )
+    return gr2, halo
+
+
+def node_adjacency(gr: Grid2D, star: int = 1) -> sp.csr_matrix:
+    """Node->node adjacency implied by the element-incidence relaxation.
+
+    The reference never flattens this: its relax kernel walks
+    elements-of-node -> nodes-of-element two-hop lists with a redundancy
+    Set per node (src/SSSP/bfm.jl:113-159, element incidence built at
+    src/GridAnnulus.jl:420-452).  Flattening to a deduplicated CSR matrix
+    at build time is the TPU-first choice: the device sees only dense,
+    static-shape gathers.
+
+    star=0: neighbours = nodes sharing an element (unconstrained_element_
+            incidence, src/GridAnnulus.jl:454-471).
+    star=1: also nodes of layer-constrained neighbouring elements
+            (element_incidence, src/GridAnnulus.jl:420-452) - the default
+            used by init_annulus.
+    star>1: further powers of the element-neighbour expansion
+            (add_star_levels!, src/GridAnnulus.jl:248-258 analogue).
+    """
+    rows = np.concatenate([np.full(len(nodes), e, dtype=np.int64) for e, nodes in enumerate(gr.e2n)])
+    cols = np.concatenate(gr.e2n)
+    inc = sp.csr_matrix((np.ones(len(rows), np.int32), (rows, cols)), shape=(gr.nel, gr.nnods))
+
+    if star == 0:
+        eadj = sp.identity(gr.nel, dtype=np.int32, format="csr")
+    else:
+        nrows = np.concatenate(
+            [np.full(len(nbrs), e, dtype=np.int64) for e, nbrs in enumerate(gr.neighbours)]
+        ) if gr.nel else np.empty(0, np.int64)
+        ncols = np.concatenate(gr.neighbours) if gr.nel else np.empty(0, np.int64)
+        nbr = sp.csr_matrix((np.ones(len(nrows), np.int32), (nrows, ncols)), shape=(gr.nel, gr.nel))
+        eadj = sp.identity(gr.nel, dtype=np.int32, format="csr") + nbr
+        for _ in range(star - 1):
+            eadj = eadj @ nbr + eadj
+        eadj.data[:] = 1
+
+    A = (inc.T @ (eadj @ inc)).tocsr()
+    A.setdiag(0)
+    A.eliminate_zeros()
+    A.sort_indices()
+    A.data = np.ones(len(A.data), dtype=bool)
+    return A
+
+
+def init_annulus(ntheta: int, nr: int, spacing: float = 20.0, star: int = 1):
+    """Build grid, adjacency and halo table (src/GridAnnulus.jl:57-70).
+
+    Returns (gr, A, halo): the grid, the node-adjacency CSR matrix (the
+    flattened equivalent of the reference's element-incidence graph G) and
+    the (2*ntwins, 2) halo twin table.
+    """
+    gr = primary_grid(ntheta, nr, R)
+    gr = secondary_nodes(gr, spacing=spacing)
+    constrain2layers(gr)
+    gr, halo = discontinuous_boundaries(gr, spacing)
+    A = node_adjacency(gr, star=star)
+    return gr, A, halo
+
+
+def closest_point(gr: Grid2D, px: float, pz: float, system: str = "cartesian") -> int:
+    """Index of the grid node closest to (px, pz) (src/GridAnnulus.jl:823-840).
+
+    With system='polar' the scan runs in raw (theta, r) coordinates, exactly
+    like the reference (Euclidean metric on the polar components).
+    """
+    if system == "cartesian":
+        vx, vz = gr.x, gr.z
+    elif system == "polar":
+        vx, vz = gr.theta, gr.r
+    else:
+        raise ValueError("system must be 'cartesian' or 'polar'")
+    return int(np.argmin((vx - px) ** 2 + (vz - pz) ** 2))
+
+
+def circle(n: int, radius: float, pop_end: bool = True, system: str = "cartesian"):
+    """n points on a circle (src/GridAnnulus.jl:842-856)."""
+    t = np.linspace(0, 2 * np.pi, n)
+    if system == "cartesian":
+        x, z = radius * np.sin(t), radius * np.cos(t)
+    else:
+        x, z = t, np.full(n, float(radius))
+    if pop_end:
+        x, z = x[:-1], z[:-1]
+    return x, z
+
+
+def point_ids(gr: Grid2D) -> np.ndarray:
+    """Label nodes 'outter'/'inner'/'inside' (src/GridAnnulus.jl:727-748)."""
+    rmin, rmax = gr.r.min(), gr.r.max()
+    out = np.full(gr.nnods, "inside", dtype=object)
+    out[gr.r == rmax] = "outter"
+    out[gr.r == rmin] = "inner"
+    return out

@@ -1,0 +1,35 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+Must set the env vars before jax initialises its backends, so this file
+avoids importing jax at module scope until after os.environ is set.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+import raytracer_tpu as rt
+
+
+@pytest.fixture(scope="session")
+def tiny_annulus():
+    """Small grid used across solver tests: ntheta=16, nr=6 (+7 forced)."""
+    gr, A, halo = rt.init_annulus(16, 6, spacing=200.0)
+    return gr, A, halo
+
+
+@pytest.fixture(scope="session")
+def tiny_velocity(tiny_annulus):
+    gr, _, _ = tiny_annulus
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    return rt.interpolate_velocity(gr.r, interp)
