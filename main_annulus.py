@@ -1,0 +1,73 @@
+"""End-to-end driver: the TPU equivalent of the reference's
+main_annulus.jl / README example.
+
+Builds the 180x50 AK135 annulus, solves the travel-time field from a
+surface source with the TPU BFM solver, reconstructs ray paths to the
+reference's receiver fan (2..150 deg both sides), writes the travel-time
+CSV + npz archive, and renders the ray-path figure.
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+import raytracer_tpu as rt
+from raytracer_tpu.config import R, SolverConfig
+from raytracer_tpu.utils.timing import Timer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ntheta", type=int, default=180)
+    ap.add_argument("--nr", type=int, default=50)
+    ap.add_argument("--spacing", type=float, default=20.0)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--model", default="ak135")
+    ap.add_argument("--out-prefix", default="annulus_run")
+    ap.add_argument("--plot", action="store_true")
+    args = ap.parse_args()
+
+    timer = Timer()
+    cfg = SolverConfig(dtype=args.dtype)
+
+    with timer.section("init_annulus"):
+        gr, A, halo = rt.init_annulus(args.ntheta, args.nr, spacing=args.spacing)
+    print(f"grid: {gr.nnods} nodes, {gr.nel} elements, {A.nnz} directed edges")
+
+    source = rt.closest_point(gr, 0.0, R, system="polar")
+
+    with timer.section("velocity"):
+        prof = rt.velocity_profile(args.model)
+        interp = rt.LinearInterpolation(prof.r, prof.Vp)
+        Vp = rt.interpolate_velocity(gr.r, interp)
+
+    with timer.section("prepare(device)"):
+        g = rt.prepare(A, halo, gr, Vp, cfg)
+
+    with timer.section("bfm solve (compile+run)"):
+        D = rt.solve(g, source, cfg)
+    with timer.section("bfm solve (steady)"):
+        D = rt.solve(g, source, cfg)
+
+    # receiver fan: 2..150 deg on both sides (main_annulus.jl:62-63)
+    degs = np.arange(2.0, 152.0, 2.0)
+    degs = np.concatenate([degs, 360.0 - degs[::-1]])
+    with timer.section("receivers+paths"):
+        receivers = [rt.closest_point(gr, np.deg2rad(d), R, system="polar") for d in degs]
+        paths = [rt.recontruct_path(D.prev, source, rec) for rec in receivers]
+
+    with timer.section("outputs"):
+        tt = rt.travel_times(D, gr, receivers, isave=True, flname=f"{args.out_prefix}_travel_times.csv")
+        rt.save_solution_npz(f"{args.out_prefix}.npz", D, gr, source, paths)
+        if args.plot:
+            rt.plot_paths(gr, paths, source, receivers, fname=f"{args.out_prefix}_ray_paths.png")
+
+    print(timer.report())
+    print(f"travel time at  60 deg: {tt[np.argmin(np.abs(degs - 60.0))]:.2f} s")
+    print(f"travel time at 150 deg: {tt[np.argmin(np.abs(degs - 150.0))]:.2f} s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+import jax
+import numpy as np
+import pytest
+
+import raytracer_tpu as rt
+from raytracer_tpu.config import R, SolverConfig
+from raytracer_tpu.parallel import make_mesh, pad_sources, travel_time_table
+
+F64 = SolverConfig(dtype="float64")
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_pad_sources():
+    out = pad_sources(np.array([3, 4, 5]), 8)
+    assert len(out) == 8
+    assert list(out[:3]) == [3, 4, 5]
+    assert np.all(out[3:] == 5)
+
+
+def test_sharded_table_matches_single_solves(tiny_annulus, tiny_velocity):
+    gr, A, halo = tiny_annulus
+    g = rt.prepare(A, halo, gr, tiny_velocity, F64)
+    mesh = make_mesh()
+    degs = [0.0, 20.0, 45.0, 90.0, 135.0]
+    sources = [rt.closest_point(gr, np.deg2rad(d), R, system="polar") for d in degs]
+    receivers = [rt.closest_point(gr, np.deg2rad(d), R, system="polar") for d in (30.0, 60.0, 180.0)]
+
+    table = travel_time_table(g, sources, receivers, F64, mesh)
+    assert table.shape == (len(sources), len(receivers))
+
+    for i, s in enumerate(sources):
+        single = rt.solve(g, s, F64)
+        np.testing.assert_allclose(table[i], single.dist[np.asarray(receivers)], rtol=1e-12)
+
+
+def test_reciprocity(tiny_annulus, tiny_velocity):
+    """Travel time source->receiver equals receiver->source (symmetric
+    weights), a physical consistency check on the sharded path."""
+    gr, A, halo = tiny_annulus
+    g = rt.prepare(A, halo, gr, tiny_velocity, F64)
+    a = rt.closest_point(gr, np.deg2rad(10.0), R, system="polar")
+    b = rt.closest_point(gr, np.deg2rad(110.0), R, system="polar")
+    table = travel_time_table(g, [a, b], [a, b], F64, make_mesh())
+    np.testing.assert_allclose(table[0, 1], table[1, 0], rtol=1e-10)
