@@ -21,6 +21,8 @@ from .models.velocity import (
     velocity_profile,
 )
 from .ops.relax import DeviceGraph
+from .ops.circulant import CirculantError, CirculantGraph, build_circulant, solve_circulant
+from .solvers.api import AnnulusSolver
 from .solvers.bfm import bfm, bfm_gpu, bfm_tpu, prepare, solve, solve_many
 from .solvers.dijkstra import dijkstra
 from .solvers.radius_stepping import radius_stepping
@@ -45,6 +47,11 @@ __all__ = [
     "interpolate_velocity",
     "velocity_profile",
     "DeviceGraph",
+    "CirculantError",
+    "CirculantGraph",
+    "build_circulant",
+    "solve_circulant",
+    "AnnulusSolver",
     "bfm",
     "bfm_gpu",
     "bfm_tpu",

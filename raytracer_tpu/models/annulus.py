@@ -58,6 +58,10 @@ class Grid2D:
     nnods: int
     neighbours: List[np.ndarray]
     is_quad: np.ndarray
+    # 0 = regular node; 1/2 = discontinuity twin created by the element in
+    # its own / the previous theta column (used by the circulant layout to
+    # disambiguate geometrically coincident twins)
+    twin_class: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
         return self.nnods
@@ -290,8 +294,10 @@ def discontinuous_boundaries(gr: Grid2D, spacing: float) -> Tuple[Grid2D, np.nda
     rl = np.array(DISCONTINUITY_RADII, dtype=np.float64)
     r = gr.r
     nnods = gr.nnods
+    dtheta = 2 * np.pi / gr.ntheta
 
     orig_of_twin: List[int] = []     # original node id per new twin
+    twin_cls: List[int] = []         # 1 = own-column element, 2 = previous
     counter = nnods
     for e in range(gr.nel):
         nodes = gr.e2n[e]
@@ -307,7 +313,13 @@ def discontinuous_boundaries(gr: Grid2D, spacing: float) -> Tuple[Grid2D, np.nda
         if n_new == 0:
             continue
         new_ids = np.arange(counter, counter + n_new, dtype=np.int64)
-        orig_of_twin.extend(nodes[on_boundary].tolist())
+        origs = nodes[on_boundary]
+        orig_of_twin.extend(origs.tolist())
+        # column owning each twin = column of its theta; the creating
+        # element's column distinguishes left/right twins of corner nodes
+        elem_col = e // (gr.nr - 1)
+        node_col = np.floor(np.mod(gr.theta[origs], 2 * np.pi) / dtheta + 1e-6).astype(int) % gr.ntheta
+        twin_cls.extend(np.where(node_col == elem_col, 1, 2).tolist())
         replaced = nodes.copy()
         replaced[on_boundary] = new_ids
         gr.e2n[e] = replaced
@@ -326,6 +338,9 @@ def discontinuous_boundaries(gr: Grid2D, spacing: float) -> Tuple[Grid2D, np.nda
     halo[ntw:, 0] = twin_ids
     halo[ntw:, 1] = idx
 
+    twin_class = np.zeros(nnods + ntw, dtype=np.int8)
+    twin_class[nnods:] = np.asarray(twin_cls, dtype=np.int8)
+
     gr2 = Grid2D(
         x=np.concatenate([gr.x, x_twin]),
         z=np.concatenate([gr.z, z_twin]),
@@ -335,6 +350,7 @@ def discontinuous_boundaries(gr: Grid2D, spacing: float) -> Tuple[Grid2D, np.nda
         ntheta=gr.ntheta, nr=gr.nr, nel=gr.nel,
         nnods=nnods + ntw,
         neighbours=gr.neighbours, is_quad=gr.is_quad,
+        twin_class=twin_class,
     )
     return gr2, halo
 

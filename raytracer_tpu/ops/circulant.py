@@ -1,0 +1,384 @@
+"""Circulant (rotationally-symmetric) annulus graph layout + solver.
+
+TPU-first redesign of the relaxation data layout.  The reference annulus
+mesh is *perfectly rotationally symmetric*: every theta column has the same
+radial node column, the same secondary-node subdivisions, the same twin
+doubling and the same edge weights (src/GridAnnulus.jl builds columns in a
+uniform loop; weights depend only on radius).  The graph is therefore a
+block-circulant matrix: node (c, m) connects to (c + dc, m') with a fixed
+stencil {(dc, m, m', w)} independent of the column c.
+
+This turns the SSSP relaxation into dense vectorised ops over a (M, ntheta)
+distance matrix:
+
+    cand[m, c] = min_k  dist[m_src[m,k], c + dc[m,k]] + w[m,k]
+
+i.e. lane-rolls (+-2 columns) plus ROW gathers along the slot axis - no
+scalar gathers anywhere (XLA TPU executes scalar gathers serially at
+~0.15 Gelem/s; row gathers run near memory bandwidth).  Per-slot weights
+are shared by all ntheta columns, shrinking the weight array by ntheta x.
+
+The core-centre node (shared by all columns) and the halo twin links are
+folded in:
+  * centre: a scalar state with a per-slot fan weight vector (its column
+    adjacency is identical for every c by symmetry);
+  * halo merges become zero-weight stencil edges - the reference's
+    conditional twin min-merge (src/SSSP/bfm.jl:54-62) has the same
+    fixpoint as 0-cost edges between twins.
+
+`build_circulant` verifies all of this numerically against the actual
+grid/adjacency and raises if the symmetry does not hold (e.g. meshes with
+floating-point npoints ties), in which case callers fall back to the
+general ELL solver.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_SOLVER_CONFIG, SolverConfig
+
+_DC_RANGE = 2  # star-1 element stencils reach at most +-2 theta columns
+
+
+class ColumnMap(NamedTuple):
+    """Node <-> (column, slot) mapping.  The core centre node is special."""
+
+    c_of: np.ndarray      # (n,) theta column of each node (-1 for centre)
+    m_of: np.ndarray      # (n,) within-column slot (-1 for centre)
+    node_of: np.ndarray   # (M, ntheta) node id per (slot, column)
+    center: int           # node id of the core centre
+    M: int
+    ntheta: int
+
+
+def column_map(gr) -> ColumnMap:
+    """Assign every node a (column, slot) pair.
+
+    Column = floor(theta / dtheta); slot = rank within the column under the
+    (r, theta-offset, twin-class) key, which is identical for every column
+    by rotational symmetry.  Keys are quantised to kill fp noise.
+    """
+    nt = gr.ntheta
+    dtheta = 2 * np.pi / nt
+    center = int(np.flatnonzero((gr.r == 0.0))[0]) if (gr.r == 0.0).any() else -1
+
+    th = np.mod(gr.theta, 2 * np.pi)
+    c_of = (np.floor(th / dtheta + 1e-6).astype(np.int64)) % nt
+    thfrac = th - c_of * dtheta
+    cls = gr.twin_class if gr.twin_class is not None else np.zeros(gr.nnods, np.int8)
+
+    key_r = np.round(gr.r, 6)
+    key_t = np.round(thfrac, 9)
+
+    ids = np.arange(gr.nnods)
+    mask = ids != center
+    order = np.lexsort((cls[mask], key_t[mask], key_r[mask], c_of[mask]))
+    sorted_ids = ids[mask][order]
+    sorted_c = c_of[mask][order]
+
+    counts = np.bincount(sorted_c, minlength=nt)
+    if not np.all(counts == counts[0]):
+        raise CirculantError(f"column node counts differ: {np.unique(counts)}")
+    M = int(counts[0])
+
+    m_of = np.full(gr.nnods, -1, dtype=np.int64)
+    # within each column block (sorted by c), slots are 0..M-1 in key order
+    m_of[sorted_ids] = np.tile(np.arange(M), nt)
+    c_of_full = c_of.copy()
+    c_of_full[center] = -1
+    m_of[center] = -1
+
+    node_of = np.empty((M, nt), dtype=np.int64)
+    node_of[m_of[sorted_ids], sorted_c] = sorted_ids
+    return ColumnMap(c_of=c_of_full, m_of=m_of, node_of=node_of, center=center, M=M, ntheta=nt)
+
+
+class CirculantError(RuntimeError):
+    """Raised when the mesh does not satisfy the circulant symmetry."""
+
+
+@dataclasses.dataclass(frozen=True)
+class CirculantGraph:
+    """Stencil form of the annulus graph.
+
+    src_flat : (M, K) int32 - flattened source index (dc+2)*M + m_src into
+               the stack of 5 lane-rolled copies of the state matrix
+    w        : (M, K) weights, +inf padding
+    fan_slots: (F,) slots adjacent to the core centre node
+    fan_w    : (F,) centre<->slot weights
+    cmap     : node <-> (c, m) mapping
+    n        : node count of the original graph
+    """
+
+    src_flat: np.ndarray
+    w: np.ndarray
+    fan_slots: np.ndarray
+    fan_w: np.ndarray
+    cmap: ColumnMap
+    n: int
+
+    @property
+    def M(self) -> int:
+        return self.cmap.M
+
+    @property
+    def ntheta(self) -> int:
+        return self.cmap.ntheta
+
+
+def csr_edge_weights(gr, rows: np.ndarray, cols: np.ndarray, U: np.ndarray) -> np.ndarray:
+    """Per-edge weight 2*len/(U_tail+U_head) for edge col->row (pull form).
+
+    Scalar U: harmonic mean (src/SSSP/bfm.jl:185); dual (n,2) U: branch-free
+    head/tail above/below pick (src/SSSP/bfm.jl:134-146).
+    """
+    L = np.sqrt((gr.x[rows] - gr.x[cols]) ** 2 + (gr.z[rows] - gr.z[cols]) ** 2)
+    U = np.asarray(U)
+    if U.ndim == 1:
+        return 2.0 * L / (U[rows] + U[cols])
+    head_above = gr.r[rows] > gr.r[cols]  # ray travels upward from col to row
+    U_head = np.where(head_above, U[cols, 1], U[cols, 0])
+    U_tail = np.where(head_above, U[rows, 0], U[rows, 1])
+    return 2.0 * L / (U_tail + U_head)
+
+
+def build_circulant(
+    gr,
+    A: sp.csr_matrix,
+    halo: np.ndarray,
+    U: np.ndarray,
+    dtype=np.float32,
+    verify: bool = True,
+    rtol: float = 1e-5,
+) -> CirculantGraph:
+    """Extract and verify the circulant stencil from the general graph."""
+    cmap = column_map(gr)
+    nt, M = cmap.ntheta, cmap.M
+
+    halo = np.asarray(halo)
+    coo = A.tocoo()
+    rows = coo.row.astype(np.int64)
+    cols = coo.col.astype(np.int64)
+    if halo.size:
+        # twin merges as zero-weight edges dst <- src
+        rows = np.concatenate([rows, halo[:, 1]])
+        cols = np.concatenate([cols, halo[:, 0]])
+    is_halo = np.zeros(len(rows), dtype=bool)
+    if halo.size:
+        is_halo[-halo.shape[0]:] = True
+
+    center = cmap.center
+    c_dst_all = cmap.c_of[rows]
+    c_src_all = cmap.c_of[cols]
+
+    is_center_edge = (rows == center) | (cols == center)
+
+    # cheap global invariants on the full edge list
+    dc_all = (c_src_all - c_dst_all) % nt
+    dc_all = np.where(dc_all > nt // 2, dc_all - nt, dc_all)
+    if np.abs(dc_all[~is_center_edge]).max() > _DC_RANGE:
+        raise CirculantError(
+            f"stencil reach {np.abs(dc_all[~is_center_edge]).max()} exceeds +-{_DC_RANGE} columns"
+        )
+    per_col = np.bincount(c_dst_all[~is_center_edge], minlength=nt)
+    if not np.all(per_col == per_col[0]):
+        raise CirculantError(f"edge counts differ across columns: {np.unique(per_col)}")
+    E = int(per_col[0])
+
+    def _column_pattern(c: int):
+        """Sorted (m_dst, dc, m_src, w) pattern of column c's incoming edges."""
+        mask = (c_dst_all == c) & ~is_center_edge
+        rr, ccol = rows[mask], cols[mask]
+        m_dst = cmap.m_of[rr]
+        m_src = cmap.m_of[ccol]
+        dc = dc_all[mask]
+        w = csr_edge_weights(gr, rr, ccol, U)
+        w[is_halo[mask]] = 0.0
+        order = np.lexsort((m_src, dc, m_dst))
+        return m_dst[order], dc[order], m_src[order], w[order]
+
+    sm_dst, sdc, sm_src, sw = _column_pattern(0)
+    if verify:
+        # full pattern comparison on sampled columns (the cheap global
+        # count/reach checks above already ran on every column)
+        for c in {1, nt // 3, nt // 2, nt - 1} - {0}:
+            m2, d2, s2, w2 = _column_pattern(c)
+            if not (np.array_equal(sm_dst, m2) and np.array_equal(sdc, d2) and np.array_equal(sm_src, s2)):
+                raise CirculantError(f"stencil pattern of column {c} differs from column 0")
+            if not np.allclose(sw, w2, rtol=rtol, atol=1e-9):
+                raise CirculantError(f"stencil weights of column {c} differ from column 0")
+
+    # ---- centre fan ----
+    fr, fc = rows[is_center_edge], cols[is_center_edge]
+    into_center = fr == center
+    fan_other = np.where(into_center, fc, fr)
+    fw = csr_edge_weights(gr, fr, fc, U)
+    fan_m = cmap.m_of[fan_other]
+    fan_c = cmap.c_of[fan_other]
+    fan_sets = {}
+    for direction, mask in (("in", into_center), ("out", ~into_center)):
+        order = np.lexsort((fan_m[mask], fan_c[mask]))
+        mm, cc2, ww2 = fan_m[mask][order], fan_c[mask][order], fw[mask][order]
+        per_col_f = np.bincount(cc2, minlength=nt)
+        if verify and not np.all(per_col_f == per_col_f[0]):
+            raise CirculantError("centre fan differs across columns")
+        F = per_col_f[0]
+        if verify:
+            if not np.all(mm.reshape(nt, F) == mm.reshape(nt, F)[0]):
+                raise CirculantError("centre fan slots differ across columns")
+            if not np.allclose(ww2.reshape(nt, F), ww2.reshape(nt, F)[0], rtol=rtol):
+                raise CirculantError("centre fan weights differ across columns")
+        fan_sets[direction] = (mm.reshape(nt, F)[0], ww2.reshape(nt, F)[0])
+    if verify and not np.array_equal(fan_sets["in"][0], fan_sets["out"][0]):
+        raise CirculantError("centre fan in/out slot mismatch")
+    fan_slots, fan_w = fan_sets["in"]
+
+    # ---- pack per-dst-slot ELL ----
+    deg = np.bincount(sm_dst, minlength=M)
+    K = int(deg.max())
+    src_flat = np.zeros((M, K), dtype=np.int32)
+    wmat = np.full((M, K), np.inf, dtype=np.float64)
+    slot_fill = np.zeros(M, dtype=np.int64)
+    # entries are sorted by m_dst already
+    offs = np.concatenate([[0], np.cumsum(deg)[:-1]])
+    k_idx = np.arange(len(sm_dst)) - offs[sm_dst]
+    src_flat[sm_dst, k_idx] = (sdc + _DC_RANGE) * M + sm_src
+    wmat[sm_dst, k_idx] = sw
+
+    return CirculantGraph(
+        src_flat=src_flat,
+        w=wmat.astype(dtype),
+        fan_slots=fan_slots.astype(np.int32),
+        fan_w=fan_w.astype(dtype),
+        cmap=cmap,
+        n=gr.nnods,
+    )
+
+
+# ----------------------------------------------------------------------
+# jnp solver on the circulant layout
+# ----------------------------------------------------------------------
+
+
+class CircState(NamedTuple):
+    dist: jax.Array     # (M, ntheta)
+    dcen: jax.Array     # () centre distance
+    changed: jax.Array  # () bool
+    it: jax.Array
+
+
+def _circ_step(state: CircState, src_flat, w, fan_slots, fan_w) -> CircState:
+    dist, dcen = state.dist, state.dcen
+    M, nt = dist.shape
+
+    # stack of lane-rolled copies: R[(dc+2)*M + m, c] = dist[m, c + dc]
+    R = jnp.concatenate([jnp.roll(dist, -d, axis=1) for d in range(-_DC_RANGE, _DC_RANGE + 1)], axis=0)
+    g = R[src_flat]                      # (M, K, nt) row gather
+    cand = jnp.min(g + w[:, :, None], axis=1)
+
+    # centre fan: centre -> slots and slots -> centre
+    fan = dist[fan_slots] + fan_w[:, None]        # (F, nt)
+    new_dcen = jnp.minimum(dcen, fan.min())
+    cand = cand.at[fan_slots].min(dcen + fan_w[:, None])
+
+    new_dist = jnp.minimum(dist, cand)
+    changed = jnp.any(new_dist < dist) | (new_dcen < dcen)
+    return CircState(new_dist, new_dcen, changed, state.it + 1)
+
+
+@functools.partial(jax.jit, static_argnames=("ntheta", "max_iters", "dtype_name"))
+def _solve_circulant_jit(src_flat, w, fan_slots, fan_w, c_src, m_src, src_is_center,
+                         ntheta: int, max_iters: int, dtype_name: str) -> CircState:
+    dtype = jnp.dtype(dtype_name)
+    M = src_flat.shape[0]
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    dist = jnp.full((M, ntheta), inf, dtype)
+    dist = jnp.where(src_is_center, dist, dist.at[m_src, c_src].set(0.0))
+    dcen = jnp.where(src_is_center, jnp.asarray(0.0, dtype), inf)
+
+    state = CircState(dist, dcen, jnp.asarray(True), jnp.zeros((), jnp.int32))
+
+    def cond(s: CircState):
+        return s.changed & (s.it < max_iters)
+
+    def body(s: CircState):
+        return _circ_step(s, src_flat, w, fan_slots, fan_w)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def solve_circulant(
+    cg: CirculantGraph,
+    source: int,
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+) -> Tuple[np.ndarray, int]:
+    """Distance field via the circulant relaxation; returns (dist, iters).
+
+    Relaxes ALL nodes every sweep (no frontier bookkeeping): on TPU the
+    dense circulant sweep is cheaper than maintaining a sparse queue, and
+    the iteration count equals the hop diameter either way.
+    """
+    cmap = cg.cmap
+    src_is_center = source == cmap.center
+    c_s = 0 if src_is_center else int(cmap.c_of[source])
+    m_s = 0 if src_is_center else int(cmap.m_of[source])
+
+    st = _solve_circulant_jit(
+        jnp.asarray(cg.src_flat), jnp.asarray(cg.w),
+        jnp.asarray(cg.fan_slots), jnp.asarray(cg.fan_w),
+        jnp.asarray(c_s, jnp.int32), jnp.asarray(m_s, jnp.int32),
+        jnp.asarray(src_is_center),
+        cmap.ntheta, config.max_iters, config.dtype,
+    )
+    dist2d = np.asarray(st.dist)
+    dist = np.empty(cg.n, dtype=dist2d.dtype)
+    valid = cmap.m_of >= 0
+    dist[valid] = dist2d[cmap.m_of[valid], cmap.c_of[valid]]
+    dist[cmap.center] = np.asarray(st.dcen)
+    return dist, int(st.it)
+
+
+def recover_prev(gr, A: sp.csr_matrix, halo: np.ndarray, U: np.ndarray, dist: np.ndarray) -> np.ndarray:
+    """Shortest-path-tree predecessors from a converged distance field.
+
+    One host pass: prev[i] = argmin_j dist[j] + w(j->i) over i's neighbours
+    (including halo twin links with an epsilon weight to break twin-twin
+    ping-pong ties).  Standard SSSP tree recovery - the distance field is
+    the fixpoint, so every node's best neighbour lies on a shortest path.
+    """
+    coo = A.tocoo()
+    rows = coo.row.astype(np.int64)
+    cols = coo.col.astype(np.int64)
+    w = csr_edge_weights(gr, rows, cols, U)
+    halo = np.asarray(halo)
+    if halo.size:
+        rows = np.concatenate([rows, halo[:, 1]])
+        cols = np.concatenate([cols, halo[:, 0]])
+        w = np.concatenate([w, np.full(halo.shape[0], 1e-6)])
+
+    vals = dist[cols] + w
+    # tie-break equal-candidate sets (collinear chains of secondary nodes
+    # all lie on the same shortest path) toward the LONGEST hop, like the
+    # reference's iterative BFM does implicitly: quantise to 0.1 ms and
+    # prefer larger edge weight within a tie
+    vals_q = np.round(vals * 1e4)
+    order = np.lexsort((-w, vals_q, rows))
+    rows_s, cols_s, vals_s = rows[order], cols[order], vals[order]
+    first = np.searchsorted(rows_s, np.arange(len(dist)))
+    # rows with no entries point to themselves
+    prev = np.arange(len(dist), dtype=np.int64)
+    has = np.zeros(len(dist), dtype=bool)
+    has[rows_s] = True
+    safe_first = np.clip(first, 0, len(rows_s) - 1)
+    cand_prev = cols_s[safe_first]
+    prev = np.where(has & np.isfinite(dist), cand_prev, prev)
+    return prev

@@ -1,0 +1,86 @@
+"""Circulant-layout solver tests: structure verification, exactness vs
+Dijkstra/ELL-BFM, centre-source solves, predecessor recovery."""
+import numpy as np
+import pytest
+
+import raytracer_tpu as rt
+from raytracer_tpu.config import R, SolverConfig
+from raytracer_tpu.ops.circulant import build_circulant, column_map, recover_prev, solve_circulant
+
+F64 = SolverConfig(dtype="float64")
+
+
+@pytest.fixture(scope="module")
+def circ(tiny_annulus, tiny_velocity):
+    gr, A, halo = tiny_annulus
+    cg = build_circulant(gr, A, halo, tiny_velocity, dtype=np.float64)
+    return gr, A, halo, tiny_velocity, cg
+
+
+def test_column_map_complete(tiny_annulus):
+    gr, _, _ = tiny_annulus
+    cm = column_map(gr)
+    assert cm.M * cm.ntheta == gr.nnods - 1  # everything but the centre
+    # node_of is a bijection
+    ids = cm.node_of.ravel()
+    assert len(np.unique(ids)) == len(ids)
+    # consistency of forward/backward maps
+    valid = cm.m_of >= 0
+    back = cm.node_of[cm.m_of[valid], cm.c_of[valid]]
+    np.testing.assert_array_equal(back, np.flatnonzero(valid))
+
+
+def test_circulant_verifies_on_annulus(circ):
+    _, _, _, _, cg = circ
+    assert cg.src_flat.shape[0] == cg.M
+    assert np.isfinite(cg.w).sum() > 0
+    assert len(cg.fan_slots) > 0
+
+
+def test_circulant_matches_dijkstra(circ):
+    gr, A, halo, U, cg = circ
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    dist, iters = solve_circulant(cg, src, F64)
+    D = rt.dijkstra(A, halo, src, gr, U, F64)
+    ok = np.isfinite(D.dist)
+    assert iters > 0
+    np.testing.assert_allclose(dist[ok], D.dist[ok], rtol=1e-12, atol=1e-9)
+
+
+def test_circulant_center_source(circ):
+    """Solving FROM the core centre exercises the fan special case."""
+    gr, A, halo, U, cg = circ
+    center = cg.cmap.center
+    dist, _ = solve_circulant(cg, center, F64)
+    D = rt.dijkstra(A, halo, center, gr, U, F64)
+    ok = np.isfinite(D.dist)
+    np.testing.assert_allclose(dist[ok], D.dist[ok], rtol=1e-12, atol=1e-9)
+    assert dist[center] == 0.0
+
+
+def test_annulus_solver_auto_picks_circulant(circ):
+    gr, A, halo, U, _ = circ
+    solver = rt.AnnulusSolver(gr, A, halo, U, F64)
+    assert solver.method == "circulant"
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    D = solver.solve(src)
+    D_ell = rt.bfm(A, halo, src, gr, U, F64)
+    ok = np.isfinite(D_ell.dist)
+    np.testing.assert_allclose(D.dist[ok], D_ell.dist[ok], rtol=1e-12, atol=1e-9)
+    # recovered predecessors form a valid shortest-path tree
+    rec = rt.closest_point(gr, np.deg2rad(120.0), R, system="polar")
+    path = rt.recontruct_path(D.prev, src, rec)
+    assert path[0] == rec and path[-1] == src
+    d = D.dist[path]
+    assert np.all(np.diff(d) <= 1e-4)
+    assert len(path) < 200  # long-hop tie-breaking keeps paths compact
+
+
+def test_annulus_solver_table(circ):
+    gr, A, halo, U, _ = circ
+    solver = rt.AnnulusSolver(gr, A, halo, U, F64)
+    srcs = [rt.closest_point(gr, np.deg2rad(d), R, system="polar") for d in (0.0, 90.0)]
+    recs = [rt.closest_point(gr, np.deg2rad(d), R, system="polar") for d in (45.0, 180.0)]
+    table = solver.travel_time_table(srcs, recs)
+    assert table.shape == (2, 2)
+    assert np.isfinite(table).all()
