@@ -21,14 +21,26 @@ from ..ops.circulant import (
     recover_prev,
     solve_circulant,
 )
+from ..ops.pallas_circulant import solve_circulant_pallas
 from . import bfm as _bfm
 from .types import BellmanFordMoore
+
+
+def _on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.devices()[0].platform not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover - no backend at all
+        return False
 
 
 class AnnulusSolver:
     """One-time graph packing + repeated SSSP solves.
 
-    method: 'auto' (circulant with ELL fallback), 'circulant', or 'ell'.
+    method: 'auto' (Pallas circulant on TPU, jnp circulant elsewhere, ELL
+    fallback when the mesh is not circulant), 'pallas', 'circulant' (jnp),
+    or 'ell'.
     """
 
     def __init__(
@@ -49,36 +61,62 @@ class AnnulusSolver:
         self.ell = None
         self.last_iterations: Optional[int] = None
 
+        if method == "auto":
+            method = "pallas" if _on_tpu() else "circulant"
+        self._requested = method
+
         dtype = np.dtype(config.dtype)
-        if method in ("auto", "circulant"):
+        if method in ("pallas", "circulant"):
             try:
                 self.circulant = build_circulant(gr, A, halo, U, dtype=dtype)
+                self._method = method
             except CirculantError:
-                if method == "circulant":
-                    raise
+                self._method = "ell"
+        else:
+            self._method = "ell"
         if self.circulant is None:
             self.ell = _bfm.prepare(A, halo, gr, U, config)
 
     @property
     def method(self) -> str:
-        return "circulant" if self.circulant is not None else "ell"
+        return self._method
+
+    def _dist_batch(self, sources: Sequence[int]) -> np.ndarray:
+        """(S, n) distance fields for a batch of sources."""
+        if self._method == "pallas":
+            dist, iters = solve_circulant_pallas(self.circulant, sources, self.config)
+            self.last_iterations = iters
+            return dist
+        if self._method == "circulant":
+            rows = []
+            for s in sources:
+                d, iters = solve_circulant(self.circulant, int(s), self.config)
+                self.last_iterations = iters
+                rows.append(d)
+            return np.stack(rows)
+        return np.stack([_bfm.solve(self.ell, int(s), self.config).dist for s in sources])
 
     def solve(self, source: int, want_prev: bool = True) -> BellmanFordMoore:
-        if self.circulant is not None:
-            dist, iters = solve_circulant(self.circulant, source, self.config)
-            self.last_iterations = iters
-            if want_prev:
-                prev = recover_prev(self.gr, self.A, self.halo, self.U, np.asarray(dist, np.float64))
-                prev[source] = source
-            else:
-                prev = np.arange(len(dist))
-            return BellmanFordMoore(prev=prev, dist=dist)
-        return _bfm.solve(self.ell, source, self.config)
+        if self.circulant is None:
+            return _bfm.solve(self.ell, source, self.config)
+        dist = self._dist_batch([source])[0]
+        if want_prev:
+            prev = recover_prev(self.gr, self.A, self.halo, self.U, np.asarray(dist, np.float64))
+            prev[source] = source
+        else:
+            prev = np.arange(len(dist))
+        return BellmanFordMoore(prev=prev, dist=dist)
 
-    def travel_time_table(self, sources: Sequence[int], receivers: Sequence[int]) -> np.ndarray:
-        """(n_sources, n_receivers) first-arrival table (no predecessors)."""
+    def travel_time_table(self, sources: Sequence[int], receivers: Sequence[int],
+                          batch: int = 8) -> np.ndarray:
+        """(n_sources, n_receivers) first-arrival table (no predecessors).
+
+        Sources run in batches (batched along the Pallas kernel's row axis,
+        which amortises its flat per-gather cost nearly perfectly).
+        """
         receivers = np.asarray(receivers)
         out = np.empty((len(sources), len(receivers)))
-        for i, s in enumerate(sources):
-            out[i] = self.solve(int(s), want_prev=False).dist[receivers]
+        for i in range(0, len(sources), batch):
+            chunk = [int(s) for s in sources[i:i + batch]]
+            out[i:i + len(chunk)] = self._dist_batch(chunk)[:, receivers]
         return out

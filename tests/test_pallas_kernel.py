@@ -1,0 +1,56 @@
+"""Pallas circulant kernel tests (interpreter mode on the CPU mesh)."""
+import numpy as np
+import pytest
+
+import raytracer_tpu as rt
+from raytracer_tpu.config import R, SolverConfig
+from raytracer_tpu.ops.circulant import build_circulant, solve_circulant
+from raytracer_tpu.ops.pallas_circulant import pack_tiled_stencil, solve_circulant_pallas
+
+F32 = SolverConfig(dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def small():
+    gr, A, halo = rt.init_annulus(16, 4, spacing=400.0)
+    prof = rt.velocity_profile()
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = rt.interpolate_velocity(gr.r, interp)
+    cg = build_circulant(gr, A, halo, U, dtype=np.float32)
+    return gr, cg
+
+
+def test_pack_tiled_stencil_covers_all_edges(small):
+    _, cg = small
+    ts = pack_tiled_stencil(cg)
+    # every finite stencil entry appears exactly once in the packed form
+    assert np.isfinite(ts.w).sum() == np.isfinite(cg.w).sum()
+    assert ts.idx.shape == ts.w.shape
+    assert ts.idx.max() < 128
+    # group offsets tile the packed rows
+    rows = sorted((off, off + cnt) for g in ts.groups for (_, off, cnt) in g)
+    assert rows[0][0] == 0 and rows[-1][1] == ts.idx.shape[0]
+    for (a, b), (c, d) in zip(rows, rows[1:]):
+        assert b == c
+
+
+def test_pallas_kernel_matches_jnp_interpret(small):
+    gr, cg = small
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    d_ref, _ = solve_circulant(cg, src, F32)
+    d_pal, it = solve_circulant_pallas(cg, [src], F32, interpret=True)
+    ok = np.isfinite(d_ref)
+    assert it > 0
+    np.testing.assert_allclose(d_pal[0][ok], d_ref[ok], rtol=1e-6, atol=1e-4)
+
+
+def test_pallas_kernel_batched_sources_interpret(small):
+    gr, cg = small
+    srcs = [
+        rt.closest_point(gr, np.deg2rad(d), R, system="polar") for d in (0.0, 90.0)
+    ]
+    d, _ = solve_circulant_pallas(cg, srcs, F32, interpret=True)
+    for i, s in enumerate(srcs):
+        d_ref, _ = solve_circulant(cg, s, F32)
+        ok = np.isfinite(d_ref)
+        np.testing.assert_allclose(d[i][ok], d_ref[ok], rtol=1e-6, atol=1e-4)
