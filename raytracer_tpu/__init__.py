@@ -20,10 +20,22 @@ from .models.velocity import (
     interpolate_velocity,
     velocity_profile,
 )
+from .models.grid3d import (
+    Grid3D,
+    LazyGrid3D,
+    closest_point3d,
+    connectivity3d,
+    grid3d,
+    lazy_grid3d,
+    nodal_incidence3d,
+)
+from .models.partition import GridPartition, find_layer_number, level_mask, partition_grid
+from .models.interpolation import bilinear, barycentric_coordinates, interpolate_elementwise
 from .ops.relax import DeviceGraph
 from .ops.circulant import CirculantError, CirculantGraph, build_circulant, solve_circulant
 from .solvers.api import AnnulusSolver
-from .solvers.bfm import bfm, bfm_gpu, bfm_tpu, prepare, solve, solve_many
+from .solvers.bfm import bfm, bfm3d, bfm_gpu, bfm_tpu, prepare, solve, solve_many
+from .solvers.multiphase import bfm_ms, bfm_multiphase, boundary_velocity, directions
 from .solvers.dijkstra import dijkstra
 from .solvers.radius_stepping import radius_stepping
 from .solvers.path import backtrace_paths, recontruct_path, reconstruct_path
@@ -52,6 +64,25 @@ __all__ = [
     "build_circulant",
     "solve_circulant",
     "AnnulusSolver",
+    "Grid3D",
+    "LazyGrid3D",
+    "closest_point3d",
+    "connectivity3d",
+    "grid3d",
+    "lazy_grid3d",
+    "nodal_incidence3d",
+    "GridPartition",
+    "find_layer_number",
+    "level_mask",
+    "partition_grid",
+    "bilinear",
+    "barycentric_coordinates",
+    "interpolate_elementwise",
+    "bfm3d",
+    "bfm_ms",
+    "bfm_multiphase",
+    "boundary_velocity",
+    "directions",
     "bfm",
     "bfm_gpu",
     "bfm_tpu",

@@ -22,15 +22,24 @@ from .graph import ELLGraph
 INF = np.float64(np.inf)
 
 
-def _segment_lengths(gr_x, gr_z, ell: ELLGraph) -> np.ndarray:
+def _coords(gr):
+    """Cartesian coordinate tuple of a grid: (x, z) for the 2-D annulus,
+    (x, y, z) for 3-D structured grids."""
+    if hasattr(gr, "y") and getattr(gr, "y") is not None:
+        return (gr.x, gr.y, gr.z)
+    return (gr.x, gr.z)
+
+
+def _segment_lengths(coords, ell: ELLGraph) -> np.ndarray:
     n_pad, _ = ell.nbr.shape
-    x = np.zeros(n_pad)
-    z = np.zeros(n_pad)
     n = ell.n
-    x[:n], z[:n] = gr_x, gr_z
-    xn = x[ell.nbr]
-    zn = z[ell.nbr]
-    return np.sqrt((x[:, None] - xn) ** 2 + (z[:, None] - zn) ** 2)
+    total = np.zeros((n_pad, ell.k))
+    for axis in coords:
+        a = np.zeros(n_pad)
+        a[:n] = axis
+        d = a[:, None] - a[ell.nbr]
+        total += d * d
+    return np.sqrt(total)
 
 
 def edge_weights_scalar(gr, ell: ELLGraph, U: np.ndarray, dtype=np.float32) -> np.ndarray:
@@ -38,7 +47,7 @@ def edge_weights_scalar(gr, ell: ELLGraph, U: np.ndarray, dtype=np.float32) -> n
     n_pad = ell.n_pad
     Upad = np.full(n_pad, 1.0)
     Upad[: ell.n] = U
-    L = _segment_lengths(gr.x, gr.z, ell)
+    L = _segment_lengths(_coords(gr), ell)
     w = 2.0 * L / (Upad[:, None] + Upad[ell.nbr])
     return np.where(ell.mask, w, INF).astype(dtype)
 
@@ -62,6 +71,6 @@ def edge_weights_dual(gr, ell: ELLGraph, U: np.ndarray, dtype=np.float32) -> np.
     U_head = np.where(head_above, Upad[:, 1][ell.nbr], Upad[:, 0][ell.nbr])
     U_tail = np.where(head_above, Upad[:, 0][:, None], Upad[:, 1][:, None])
 
-    L = _segment_lengths(gr.x, gr.z, ell)
+    L = _segment_lengths(_coords(gr), ell)
     w = 2.0 * L / (U_tail + U_head)
     return np.where(ell.mask, w, INF).astype(dtype)

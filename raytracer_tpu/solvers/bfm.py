@@ -147,3 +147,19 @@ def bfm_gpu(*args, **kwargs) -> BellmanFordMoore:
 
 
 bfm_tpu = bfm_gpu
+
+
+def bfm3d(
+    A: sp.csr_matrix,
+    source: int,
+    gr3,
+    U: np.ndarray,
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+) -> BellmanFordMoore:
+    """BFM on a 3-D spherical-shell grid (models/grid3d.py).
+
+    Same ELL machinery as the 2-D solver with 3-D cartesian segment
+    lengths; no halo (the 3-D grid has no doubled discontinuity nodes).
+    Replaces the reference's legacy 3-D CUDA solvers (src/Dijsktra.jl).
+    """
+    return bfm(A, np.empty((0, 2), dtype=np.int64), source, gr3, U, config)

@@ -1,0 +1,203 @@
+"""Multi-stage / multiphase BFM sweeps (layer-by-layer propagation).
+
+TPU equivalents of the reference's experimental multi-leg phase
+scaffolding:
+  * `bfm_ms`         (src/SSSP/bfm_new_ms.jl:30-138): element-incidence
+    graph with halo, runs the first (downward) and last (upward) levels of
+    the partition iterator, restarting from the minimum-distance boundary
+    node with distances reset outside that boundary.
+  * `bfm_multiphase` (src/SSSP/bfm_multiphase.jl:30-156): nodal sparse
+    graph, sweeps the first `nlevels` iterator levels (reference hardcodes
+    3), swapping the velocity at the active boundaries above/below per
+    sweep direction before each level.
+
+Both are dense-mask reformulations: the per-level frontier restriction
+(`ID[Gi] not in current_level && continue`) becomes a boolean level mask
+applied when rebuilding the frontier; relaxation itself is unrestricted,
+exactly like the reference.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ..config import DEFAULT_SOLVER_CONFIG, SolverConfig, VELOCITY_BUFFER
+from ..models.partition import GridPartition, level_mask, partition_grid
+from ..ops.relax import BFMState, DeviceGraph, bfm_step, init_state
+from .bfm import prepare
+from .types import BellmanFordMoore
+
+
+def directions(nlayers: int) -> Dict[int, Tuple[str, str]]:
+    """Ray direction per iterator level (src/SSSP/bfm_new_ms.jl:1-14)."""
+    nmax = 2 * nlayers - 1
+    out: Dict[int, Tuple[str, str]] = {}
+    out[1] = out[nmax] = ("above", "above")
+    for i in range(2, nlayers):
+        out[i] = out[nmax - i + 1] = ("below", "above")
+    out[nlayers] = ("below", "below")
+    return out
+
+
+def boundary_velocity(
+    U: np.ndarray,
+    interpolant: Callable,
+    r_boundary: float,
+    boundary_nodes: np.ndarray,
+    ray_direction: str,
+    buffer: float = VELOCITY_BUFFER,
+) -> np.ndarray:
+    """Swap the velocity of boundary nodes to the value just above/below
+    (src/SSSP/bfm_new_ms.jl:16-28 convention: 'above' samples r+buffer)."""
+    U = np.asarray(U, dtype=np.float64).copy()
+    if ray_direction == "above":
+        val = interpolant(r_boundary + buffer)
+    else:
+        val = interpolant(r_boundary - buffer)
+    U[boundary_nodes] = val
+    return U
+
+
+def _masked_step(state: BFMState, g: DeviceGraph, mask: jax.Array) -> BFMState:
+    """bfm_step with the frontier restricted to `mask` (level-masked
+    _update_Q!, src/SSSP/bfm_new_ms.jl:152-168)."""
+    s = bfm_step(state, g)
+    return s._replace(front=s.front & mask)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "dtype_name"))
+def _masked_solve_jit(g: DeviceGraph, dist0, prev0, front0, mask, max_iters: int, dtype_name: str):
+    state = BFMState(dist=dist0, prev=prev0, front=front0 & mask, it=jnp.zeros((), jnp.int32))
+
+    def cond(s):
+        return jnp.any(s.front) & (s.it < max_iters)
+
+    def body(s):
+        return _masked_step(s, g, mask)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _boundary_nodes(gr, partition: GridPartition) -> Dict[str, np.ndarray]:
+    return {
+        b: np.flatnonzero(partition.boundary_of == k + 1)
+        for k, b in enumerate(partition.boundaries)
+    }
+
+
+def bfm_ms(
+    A: sp.csr_matrix,
+    halo: np.ndarray,
+    source: int,
+    gr,
+    U: np.ndarray,
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    levels: Optional[Tuple[int, ...]] = None,
+) -> BellmanFordMoore:
+    """Multi-stage BFM (src/SSSP/bfm_new_ms.jl:30-138).
+
+    Default levels = (1, last), like the reference's
+    `for i in [1, length(iterator)]`.  Between levels the source moves to
+    the minimum-distance node of the level's first boundary and all other
+    distances reset to +inf.
+    """
+    partition = partition_grid(gr)
+    if levels is None:
+        levels = (1, 2 * partition.nlayers - 1)
+    bnodes = _boundary_nodes(gr, partition)
+
+    dtype = jnp.dtype(config.dtype)
+    g = prepare(A, halo, gr, U, config)
+    n_pad = g.nbr.shape[0]
+
+    st = init_state(g, jnp.asarray(source, jnp.int32), dtype)
+    dist, prev = st.dist, st.prev
+
+    for li, level in enumerate(levels):
+        active = partition.iterator[level]
+        first_boundary = active[1]
+        mask_np = np.zeros(n_pad, dtype=bool)
+        mask_np[: gr.nnods] = level_mask(partition, level)
+        mask = jnp.asarray(mask_np)
+
+        if li > 0:
+            # restart from the best node on the level's first boundary
+            keep = bnodes[first_boundary]
+            dist_np = np.asarray(dist)
+            src = int(keep[np.argmin(dist_np[keep])])
+            reset = np.ones(n_pad, dtype=bool)
+            reset[keep] = False
+            dist = jnp.where(jnp.asarray(reset), jnp.asarray(np.inf, dtype), dist)
+            st0 = init_state(g, jnp.asarray(src, jnp.int32), dtype)
+            front = st0.front
+            dist = jnp.minimum(dist, st0.dist)
+        else:
+            front = st.front
+
+        out = _masked_solve_jit(g, dist, prev, front, mask, config.max_iters, config.dtype)
+        dist, prev = out.dist, out.prev
+
+    return BellmanFordMoore(prev=np.asarray(prev)[: gr.nnods], dist=np.asarray(dist)[: gr.nnods])
+
+
+def bfm_multiphase(
+    A: sp.csr_matrix,
+    source: int,
+    gr,
+    U: np.ndarray,
+    partition: Optional[GridPartition] = None,
+    interpolant: Optional[Callable] = None,
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    nlevels: int = 3,
+) -> BellmanFordMoore:
+    """Multiphase BFM on the nodal graph (src/SSSP/bfm_multiphase.jl:30-156).
+
+    Sweeps the first `nlevels` partition levels (the reference hardcodes
+    `for i in 1:3`), updating the boundary-node velocities above/below per
+    the level's ray direction before each sweep.  No halo (the reference
+    variant predates node doubling).
+    """
+    partition = partition or partition_grid(gr)
+    bnodes = _boundary_nodes(gr, partition)
+    ray_dir = directions(partition.nlayers)
+    bdict = dict(zip(partition.boundaries, partition.rboundaries))
+
+    U = np.asarray(U, dtype=np.float64).copy()
+    empty_halo = np.empty((0, 2), dtype=np.int64)
+    dtype = jnp.dtype(config.dtype)
+
+    dist = prev = None
+    for i in range(1, nlevels + 1):
+        active = partition.iterator[i]
+        current_boundaries = active[1:]
+        if interpolant is not None:
+            for b in current_boundaries:
+                U = boundary_velocity(U, interpolant, bdict[b], bnodes[b], ray_dir[i][0 if b == current_boundaries[0] else 1])
+
+        # weights change with U -> repack per level
+        g = prepare(A, empty_halo, gr, U, config)
+        n_pad = g.nbr.shape[0]
+        mask_np = np.zeros(n_pad, dtype=bool)
+        mask_np[: gr.nnods] = level_mask(partition, i)
+        mask = jnp.asarray(mask_np)
+
+        st0 = init_state(g, jnp.asarray(source, jnp.int32), dtype)
+        if dist is None:
+            dist, prev = st0.dist, st0.prev
+        front = st0.front & mask
+
+        out = _masked_solve_jit(g, dist, prev, front, mask, config.max_iters, config.dtype)
+        dist, prev = out.dist, out.prev
+
+    return BellmanFordMoore(prev=np.asarray(prev)[: gr.nnods], dist=np.asarray(dist)[: gr.nnods])
+
+
+def find_new_source_min(dist: np.ndarray, partition: GridPartition, boundary: str) -> int:
+    """Minimum-distance node on a boundary (src/SSSP/bfm_multiphase.jl:158-170)."""
+    nodes = np.flatnonzero(partition.id == boundary)
+    return int(nodes[np.argmin(np.asarray(dist)[nodes])])
