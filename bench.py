@@ -11,12 +11,18 @@ bookkeeping bug (328,510 nodes); this implementation builds the intended
 deduplicated graph of the same physical task (~150k nodes, same geometric
 coverage and accuracy).
 
-Prints ONE JSON line:
-  metric   : single-source BFM solve wall-clock on the 180x63 AK135 annulus
-  value    : seconds per solve (median of 3, compiled, device-synced)
-  vs_baseline: speedup vs the 4-thread CPU reference (2.31 s / value)
+Two solver paths are measured:
+  * jnp circulant (reliable compile)   - inline
+  * Pallas lane-gather kernel (faster) - probed in a subprocess with a
+    timeout, because the remote TPU compile service latency is erratic
+The better completed result is reported.
+
+Prints ONE JSON line with vs_baseline = 2.31 s (reference CPU 4 threads)
+divided by the measured per-solve wall-clock.
 """
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -25,23 +31,22 @@ import numpy as np
 BASELINE_4T = 2.31   # s, reference CPU 4 threads (GPU_4_threads_star1_NOreorder_new.csv:4)
 BASELINE_1T = 6.05   # s, reference CPU 1 thread
 NTHETA, NR, SPACING = 180, 63, 20.0
+PALLAS_PROBE_TIMEOUT_S = 900
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
-    import os
-
+def _setup_jax():
     import jax
 
-    # persistent compile cache: the Pallas kernel compile is minutes-long,
-    # cache it across bench runs
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+
+def _build(method):
     import raytracer_tpu as rt
     from raytracer_tpu.config import R, SolverConfig
 
@@ -55,51 +60,71 @@ def main():
 
     cfg = SolverConfig(dtype="float32")
     t0 = time.time()
-    solver = rt.AnnulusSolver(gr, A, halo, Vp, cfg)
+    solver = rt.AnnulusSolver(gr, A, halo, Vp, cfg, method=method)
     log(f"solver pack ({solver.method}): {time.time()-t0:.1f}s")
-
     source = rt.closest_point(gr, 0.0, R, system="polar")
+    rec60 = rt.closest_point(gr, np.deg2rad(60.0), R, system="polar")
+    return rt, gr, solver, source, rec60
 
-    # warm-up / compile
+
+def _measure(solver, source):
     t0 = time.time()
-    D = solver.solve(source, want_prev=False)
-    log(f"first solve (compile+run): {time.time()-t0:.1f}s  iters={solver.last_iterations}")
-
+    solver.solve(source, want_prev=False)
+    compile_s = time.time() - t0
     times = []
     for _ in range(3):
         t0 = time.time()
         D = solver.solve(source, want_prev=False)
         times.append(time.time() - t0)
-    t_single = float(np.median(times))
-    log(f"single-source solve: {t_single*1e3:.0f} ms (runs: {[f'{t*1e3:.0f}' for t in times]})")
+    return compile_s, float(np.median(times)), D
 
-    # sanity: physical travel time at 60 degrees
-    rec = rt.closest_point(gr, np.deg2rad(60.0), R, system="polar")
-    t60 = float(D.dist[rec])
+
+def probe_pallas():
+    """Subprocess entry: measure the Pallas path, print one line."""
+    _setup_jax()
+    rt, gr, solver, source, rec60 = _build("pallas")
+    compile_s, t_single, D = _measure(solver, source)
+    log(f"pallas compile {compile_s:.1f}s, solve {t_single*1e3:.0f} ms, iters={solver.last_iterations}")
+    print(json.dumps({"t": t_single, "iters": solver.last_iterations, "t60": float(D.dist[rec60])}))
+
+
+def main():
+    _setup_jax()
+    rt, gr, solver, source, rec60 = _build("circulant")
+    compile_s, t_jnp, D = _measure(solver, source)
+    log(f"jnp circulant: compile {compile_s:.1f}s, solve {t_jnp*1e3:.0f} ms, iters={solver.last_iterations}")
+
+    t60 = float(D.dist[rec60])
     log(f"travel time at 60 deg: {t60:.2f} s (AK135 P ~ 600 s)")
     assert 550.0 < t60 < 750.0, f"unphysical travel time {t60}"
 
-    # batched throughput (8 sources through the Pallas row axis)
-    degs = np.linspace(0.0, 175.0, 8)
-    sources = [rt.closest_point(gr, np.deg2rad(d), R, system="polar") for d in degs]
-    receivers = [rec]
-    solver.travel_time_table(sources, receivers)  # warm
-    t0 = time.time()
-    solver.travel_time_table(sources, receivers)
-    t_batch = (time.time() - t0) / len(sources)
-    log(f"batched 8-source: {t_batch*1e3:.0f} ms/source")
+    best = t_jnp
+    method = "jnp-circulant"
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pallas-probe"],
+            capture_output=True, text=True, timeout=PALLAS_PROBE_TIMEOUT_S,
+        )
+        sys.stderr.write(out.stderr[-2000:])
+        if out.returncode == 0 and out.stdout.strip():
+            res = json.loads(out.stdout.strip().splitlines()[-1])
+            if abs(res["t60"] - t60) < 0.5 and res["t"] < best:
+                best = res["t"]
+                method = "pallas-circulant"
+    except (subprocess.TimeoutExpired, Exception) as e:  # noqa: BLE001
+        log(f"pallas probe unavailable: {type(e).__name__}")
 
-    edges_per_iter = int(np.isfinite(solver.circulant.w).sum()) * gr.ntheta if solver.circulant is not None else A.nnz
-    if solver.last_iterations:
-        log(f"edge relaxations/sec: {edges_per_iter * solver.last_iterations / t_single / 1e9:.2f} G")
-
+    log(f"best path: {method}  {best*1e3:.0f} ms/solve")
     print(json.dumps({
         "metric": "BFM single-source solve wall-clock, 180x63 AK135 annulus (ref CPU-4t 2.31s, 1t 6.05s)",
-        "value": round(t_single, 4),
+        "value": round(best, 4),
         "unit": "s",
-        "vs_baseline": round(BASELINE_4T / t_single, 2),
+        "vs_baseline": round(BASELINE_4T / best, 2),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--pallas-probe" in sys.argv:
+        probe_pallas()
+    else:
+        main()

@@ -9,9 +9,17 @@ CSV + npz archive, and renders the ray-path figure.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
+import jax
 import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import raytracer_tpu as rt
 from raytracer_tpu.config import R, SolverConfig
@@ -43,13 +51,18 @@ def main():
         interp = rt.LinearInterpolation(prof.r, prof.Vp)
         Vp = rt.interpolate_velocity(gr.r, interp)
 
-    with timer.section("prepare(device)"):
-        g = rt.prepare(A, halo, gr, Vp, cfg)
+    with timer.section("solver pack"):
+        solver = rt.AnnulusSolver(gr, A, halo, Vp, cfg)
+    print(f"solver method: {solver.method}")
 
     with timer.section("bfm solve (compile+run)"):
-        D = rt.solve(g, source, cfg)
+        solver.solve(source, want_prev=False)
     with timer.section("bfm solve (steady)"):
-        D = rt.solve(g, source, cfg)
+        solver.solve(source, want_prev=False)
+    with timer.section("prev recovery (host)"):
+        D = solver.solve(source)
+    if solver.last_iterations:
+        print(f"Converged in {solver.last_iterations} iterations")
 
     # receiver fan: 2..150 deg on both sides (main_annulus.jl:62-63)
     degs = np.arange(2.0, 152.0, 2.0)

@@ -69,6 +69,8 @@ class TiledStencil:
     groups: Tuple[Tuple[Tuple[int, int, int], ...], ...]
     idx: np.ndarray
     w: np.ndarray
+    offs: np.ndarray    # (T+1,) int32 row range of each dst tile in idx/w
+    u_of: np.ndarray    # (K_tot,) int32 rolled-source tile of each row
     ring_w: np.ndarray
     chain_w: np.ndarray
     fan_w: np.ndarray
@@ -145,10 +147,18 @@ def pack_tiled_stencil(cg: CirculantGraph, dtype=np.float32) -> TiledStencil:
 
     idx_all = np.concatenate(idx_rows) if idx_rows else np.zeros((0, LANES), np.int32)
     w_all = np.concatenate(w_rows) if w_rows else np.zeros((0, LANES))
+    offs = np.zeros(T + 1, dtype=np.int32)
+    u_of = np.zeros(len(idx_all), dtype=np.int32)
+    for t, groups_t in enumerate(groups):
+        offs[t + 1] = offs[t] + sum(cnt for (_, _, cnt) in groups_t)
+        for (uu, off, cnt) in groups_t:
+            u_of[off:off + cnt] = uu
     return TiledStencil(
         groups=tuple(tuple(g) for g in groups),
         idx=idx_all.astype(np.int32),
         w=w_all.astype(dtype),
+        offs=offs,
+        u_of=u_of,
         ring_w=ring_w.astype(dtype),
         chain_w=chain_w.astype(dtype),
         fan_w=fan_w.astype(dtype),
@@ -158,30 +168,35 @@ def pack_tiled_stencil(cg: CirculantGraph, dtype=np.float32) -> TiledStencil:
     )
 
 
-def _make_relax_kernel(groups, T: int, SR: int):
-    """One full relaxation sweep over all dst tiles (static structure)."""
+def _make_relax_kernel(T: int, SR: int):
+    """One relaxation sweep, one grid step per dst tile.
 
-    def kernel(R_ref, idx_ref, w_ref, out_ref):
-        for t in range(T):
-            acc = R_ref[_DC_RANGE * T + t]  # dc=0 copy of tile t == old dist
-            for (u, off, cnt) in groups[t]:
-                src = R_ref[u]
+    Fully dynamic (group structure arrives as scalar-prefetch arrays), so
+    the Mosaic program is tiny and compile time does not scale with the
+    stencil: offs[t]..offs[t+1] index the k-rows of this tile, u_of[k]
+    selects the rolled-source tile of each row.
+    """
 
-                def body(k, acc, _src=src, _off=off):
-                    idx_row = idx_ref[_off + k]
-                    w_row = w_ref[_off + k]
-                    g = jnp.take_along_axis(
-                        _src, jnp.broadcast_to(idx_row[None, :], (SR, LANES)), axis=1
-                    )
-                    return jnp.minimum(acc, g + w_row[None, :])
+    def kernel(offs_ref, u_of_ref, R_ref, idx_ref, w_ref, out_ref):
+        t = pl.program_id(0)
+        acc0 = R_ref[_DC_RANGE * T + t]  # dc=0 copy of tile t == old dist
 
-                acc = jax.lax.fori_loop(0, cnt, body, acc)
-            out_ref[t] = acc
+        def body(k, acc):
+            u = u_of_ref[k]
+            idx_row = idx_ref[k]
+            w_row = w_ref[k]
+            g = jnp.take_along_axis(
+                R_ref[u], jnp.broadcast_to(idx_row[None, :], (SR, LANES)), axis=1
+            )
+            return jnp.minimum(acc, g + w_row[None, :])
+
+        out_ref[0] = jax.lax.fori_loop(offs_ref[t], offs_ref[t + 1], body, acc0)
 
     return kernel
 
 
-def _relax_pallas(dist: jax.Array, groups, T: int, nt: int, idx: jax.Array, w: jax.Array,
+def _relax_pallas(dist: jax.Array, offs: jax.Array, u_of: jax.Array, T: int, nt: int,
+                  idx: jax.Array, w: jax.Array,
                   S: int, ntp: int, interpret: bool = False) -> jax.Array:
     """dist: (T, S, ntp, 128) -> one relaxation sweep (same shape)."""
     SR = S * ntp
@@ -195,18 +210,23 @@ def _relax_pallas(dist: jax.Array, groups, T: int, nt: int, idx: jax.Array, w: j
         R = jnp.concatenate([R, pad], axis=3)
     R = R.reshape(5 * T, SR, LANES)
 
-    kernel = _make_relax_kernel(groups, T, SR)
+    kernel = _make_relax_kernel(T, SR)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,      # offs, u_of
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((5 * T, SR, LANES), lambda t, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((idx.shape[0], LANES), lambda t, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w.shape[0], LANES), lambda t, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, SR, LANES), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((T, SR, LANES), dist.dtype),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         interpret=interpret,
-    )(R, idx, w)
+    )(offs, u_of, R, idx, w)
     return out.reshape(T, S, ntp, LANES)
 
 
@@ -274,9 +294,9 @@ class PallasCircState(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("groups", "T", "nt", "S", "ntp", "max_iters", "ring_every", "interpret"),
+    static_argnames=("T", "nt", "S", "ntp", "max_iters", "ring_every", "interpret"),
 )
-def _solve_pallas_jit(dist0, dcen0, idx, w, ring_w, chain_w, fan_w, groups, T: int, nt: int,
+def _solve_pallas_jit(dist0, dcen0, idx, w, offs, u_of, ring_w, chain_w, fan_w, T: int, nt: int,
                       S: int, ntp: int, max_iters: int, ring_every: int,
                       interpret: bool) -> PallasCircState:
     state = PallasCircState(dist0, dcen0, jnp.asarray(True), jnp.zeros((), jnp.int32))
@@ -293,7 +313,7 @@ def _solve_pallas_jit(dist0, dcen0, idx, w, ring_w, chain_w, fan_w, groups, T: i
             d = scans(d)
         elif ring_every > 1:
             d = jax.lax.cond(s.it % ring_every == 0, scans, lambda x: x, d)
-        d = _relax_pallas(d, groups, T, nt, idx, w, S, ntp, interpret)
+        d = _relax_pallas(d, offs, u_of, T, nt, idx, w, S, ntp, interpret)
         # centre fan exchange (masked dense ops; fan_w is +inf off-fan)
         fanned = d + fan_w[:, None, None, :]
         dcen = jnp.minimum(s.dcen, fanned.min(axis=(0, 2, 3)))
@@ -336,8 +356,9 @@ def solve_circulant_pallas(
     st = _solve_pallas_jit(
         jnp.asarray(dist0), jnp.asarray(dcen0),
         jnp.asarray(ts.idx), jnp.asarray(ts.w),
+        jnp.asarray(ts.offs), jnp.asarray(ts.u_of),
         jnp.asarray(ts.ring_w), jnp.asarray(ts.chain_w), jnp.asarray(ts.fan_w),
-        ts.groups, T, nt, S, ntp, config.max_iters, ring_every, interpret,
+        T, nt, S, ntp, config.max_iters, ring_every, interpret,
     )
     dist4 = np.asarray(st.dist)   # (T, S, ntp, 128)
     out = np.empty((S, cg.n), dtype=dist4.dtype)

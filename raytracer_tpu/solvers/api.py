@@ -38,9 +38,16 @@ def _on_tpu() -> bool:
 class AnnulusSolver:
     """One-time graph packing + repeated SSSP solves.
 
-    method: 'auto' (Pallas circulant on TPU, jnp circulant elsewhere, ELL
-    fallback when the mesh is not circulant), 'pallas', 'circulant' (jnp),
-    or 'ell'.
+    method:
+      'auto'      -> 'circulant' (jnp row-gather solver; fast compile,
+                     ~25% slower steady-state than 'pallas')
+      'pallas'    -> the Pallas lane-gather kernel (fastest steady-state
+                     and near-free source batching, but first-call
+                     compilation through the remote TPU compiler can take
+                     minutes; use with a persistent compilation cache)
+      'circulant' -> jnp circulant solver
+      'ell'       -> general padded-ELL solver (any graph, incl. 3-D)
+    Non-circulant meshes always fall back to 'ell'.
     """
 
     def __init__(
@@ -62,7 +69,7 @@ class AnnulusSolver:
         self.last_iterations: Optional[int] = None
 
         if method == "auto":
-            method = "pallas" if _on_tpu() else "circulant"
+            method = "circulant"
         self._requested = method
 
         dtype = np.dtype(config.dtype)
