@@ -51,6 +51,19 @@ def save_solution_npz(path: str, D, gr, source: int, paths: Optional[Sequence[np
     np.savez_compressed(path, **arrays)
 
 
+def load_solution_npz(path: str):
+    """Load an archive written by save_solution_npz.
+
+    Returns (data dict, prev, dist, source, paths list) - the
+    checkpoint/resume counterpart the reference lacks entirely
+    (SURVEY.md section 5: persistence was final CSV/MAT only).
+    """
+    with np.load(path) as f:
+        data = {k: f[k] for k in f.files}
+    paths = [data[k] for k in sorted(data) if k.startswith("path_")]
+    return data, data["prev"], data["dist"], int(data["source"]), paths
+
+
 def save_matfile(path: str, D, gr, paths: Optional[Sequence[np.ndarray]] = None) -> None:
     """MATLAB-compatible export via scipy.io (main_annulus.jl:6-32)."""
     from scipy.io import savemat
