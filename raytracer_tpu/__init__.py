@@ -36,6 +36,8 @@ from .ops.circulant import CirculantError, CirculantGraph, build_circulant, solv
 from .solvers.api import AnnulusSolver
 from .solvers.bfm import bfm, bfm3d, bfm_gpu, bfm_tpu, prepare, solve, solve_many
 from .solvers.multiphase import bfm_ms, bfm_multiphase, boundary_velocity, directions
+from .solvers.dijkstra import weight_matrix, weights
+from .models.delaunay import add_midpoints, triangle_annulus_2d
 from .solvers.dijkstra import dijkstra
 from .solvers.radius_stepping import radius_stepping
 from .solvers.path import backtrace_paths, recontruct_path, reconstruct_path
@@ -83,6 +85,10 @@ __all__ = [
     "bfm_multiphase",
     "boundary_velocity",
     "directions",
+    "weight_matrix",
+    "weights",
+    "add_midpoints",
+    "triangle_annulus_2d",
     "bfm",
     "bfm_gpu",
     "bfm_tpu",

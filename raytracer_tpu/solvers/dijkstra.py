@@ -56,6 +56,11 @@ def weight_matrix(
     return sp.csr_matrix((data, (i, j)), shape=(n, n))
 
 
+# API-parity alias: the reference's `weights` builds the same precomputed
+# sparse edge-weight matrix (src/SSSP/weights.jl:1-18)
+weights = weight_matrix
+
+
 def dijkstra(
     A: sp.csr_matrix,
     halo: np.ndarray,
