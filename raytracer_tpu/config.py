@@ -40,7 +40,11 @@ R_INNER = 0.1
 
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
-    """Runtime knobs for the SSSP solvers."""
+    """Runtime knobs for the SSSP solvers.
+
+    Dual (above/below) velocities are selected by passing a (n, 2) U
+    array; solver method selection lives on AnnulusSolver(method=...).
+    """
 
     dtype: str = "float32"        # device dtype for distances/weights
     max_iters: int = 100_000      # hard cap on the while_loop
@@ -48,9 +52,6 @@ class SolverConfig:
     node_pad: int = 1024
     # pad neighbour count (ELL width) to a multiple of this
     degree_pad: int = 8
-    use_pallas: bool = False      # use the Pallas relaxation kernel
-    dual_velocity: bool = False   # head/tail above/below velocity pick
-    log_every: int = 0            # iteration stats logging (0 = off)
 
 
 DEFAULT_SOLVER_CONFIG = SolverConfig()
