@@ -372,7 +372,21 @@ def node_adjacency(gr: Grid2D, star: int = 1) -> sp.csr_matrix:
             used by init_annulus.
     star>1: further powers of the element-neighbour expansion
             (add_star_levels!, src/GridAnnulus.jl:248-258 analogue).
+
+    Uses the native C++ union-merge kernel when available (the scipy
+    triple product below performs ~100x more work summing duplicate
+    contributions); both produce identical matrices (tested).
     """
+    from ..native import node_adjacency_native
+
+    A = node_adjacency_native(gr.e2n, gr.neighbours, gr.nnods, star)
+    if A is not None:
+        return A
+    return _node_adjacency_scipy(gr, star)
+
+
+def _node_adjacency_scipy(gr: Grid2D, star: int = 1) -> sp.csr_matrix:
+    """Pure scipy fallback/reference implementation of node_adjacency."""
     rows = np.concatenate([np.full(len(nodes), e, dtype=np.int64) for e, nodes in enumerate(gr.e2n)])
     cols = np.concatenate(gr.e2n)
     inc = sp.csr_matrix((np.ones(len(rows), np.int32), (rows, cols)), shape=(gr.nel, gr.nnods))

@@ -214,7 +214,13 @@ def build_circulant(
             if not (np.array_equal(sm_dst, m2) and np.array_equal(sdc, d2) and np.array_equal(sm_src, s2)):
                 raise CirculantError(f"stencil pattern of column {c} differs from column 0")
             if not np.allclose(sw, w2, rtol=rtol, atol=1e-9):
-                raise CirculantError(f"stencil weights of column {c} differ from column 0")
+                bad = ~np.isclose(sw, w2, rtol=rtol, atol=1e-9)
+                i = int(np.argmax(np.where(bad, np.abs(sw - w2), 0)))
+                raise CirculantError(
+                    f"stencil weights of column {c} differ from column 0: "
+                    f"{int(bad.sum())} entries, worst at (m_dst={sm_dst[i]}, dc={sdc[i]}, "
+                    f"m_src={sm_src[i]}): {sw[i]!r} vs {w2[i]!r}"
+                )
 
     # ---- centre fan ----
     fr, fc = rows[is_center_edge], cols[is_center_edge]

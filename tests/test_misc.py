@@ -110,3 +110,21 @@ def test_timer_report():
         pass
     rep = t.report()
     assert "a" in rep and "2" in rep
+
+
+def test_native_adjacency_matches_scipy():
+    from raytracer_tpu.models.annulus import _node_adjacency_scipy, primary_grid, secondary_nodes, constrain2layers, discontinuous_boundaries
+    from raytracer_tpu.native import node_adjacency_native
+
+    gr = primary_grid(12, 5)
+    gr = secondary_nodes(gr, spacing=300.0)
+    constrain2layers(gr)
+    gr, halo = discontinuous_boundaries(gr, 300.0)
+    for star in (0, 1):
+        A_native = node_adjacency_native(gr.e2n, gr.neighbours, gr.nnods, star)
+        if A_native is None:
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        A_scipy = _node_adjacency_scipy(gr, star)
+        assert (A_native != A_scipy).nnz == 0
