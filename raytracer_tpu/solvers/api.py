@@ -77,7 +77,10 @@ class AnnulusSolver:
             try:
                 self.circulant = build_circulant(gr, A, halo, U, dtype=dtype)
                 self._method = method
-            except CirculantError:
+            except CirculantError as e:
+                import warnings
+
+                warnings.warn(f"circulant layout unavailable ({e}); falling back to ELL")
                 self._method = "ell"
         else:
             self._method = "ell"
