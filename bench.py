@@ -31,7 +31,7 @@ import numpy as np
 BASELINE_4T = 2.31   # s, reference CPU 4 threads (GPU_4_threads_star1_NOreorder_new.csv:4)
 BASELINE_1T = 6.05   # s, reference CPU 1 thread
 NTHETA, NR, SPACING = 180, 63, 20.0
-PALLAS_PROBE_TIMEOUT_S = 900
+PALLAS_PROBE_TIMEOUT_S = 600
 
 
 def log(msg):
@@ -49,10 +49,12 @@ def _setup_jax():
 def _build(method):
     import raytracer_tpu as rt
     from raytracer_tpu.config import R, SolverConfig
+    from raytracer_tpu.utils.cache import init_annulus_cached
 
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
     t0 = time.time()
-    gr, A, halo = rt.init_annulus(NTHETA, NR, spacing=SPACING)
-    log(f"grid build: {time.time()-t0:.1f}s  nodes={gr.nnods} edges={A.nnz}")
+    gr, A, halo = init_annulus_cached(NTHETA, NR, spacing=SPACING, cache_dir=cache_dir)
+    log(f"grid build/load: {time.time()-t0:.1f}s  nodes={gr.nnods} edges={A.nnz}")
 
     prof = rt.velocity_profile("ak135")
     interp = rt.LinearInterpolation(prof.r, prof.Vp)

@@ -1,0 +1,91 @@
+"""Disk cache for built grids/graphs.
+
+Grid+graph construction is a deterministic pure function of
+(ntheta, nr, spacing, star) but costs minutes on slow hosts; bench and
+the drivers cache the result on disk.  Uses npz (not pickle) so the cache
+is robust across refactors of the Grid2D class layout.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..models.annulus import Grid2D
+
+_CACHE_VERSION = 1
+
+
+def _path(cache_dir: str, ntheta: int, nr: int, spacing: float, star: int) -> str:
+    return os.path.join(
+        cache_dir, f"annulus_v{_CACHE_VERSION}_{ntheta}x{nr}_sp{spacing:g}_star{star}.npz"
+    )
+
+
+def save_annulus(cache_dir: str, ntheta: int, nr: int, spacing: float, star: int,
+                 gr: Grid2D, A: sp.csr_matrix, halo: np.ndarray) -> str:
+    os.makedirs(cache_dir, exist_ok=True)
+    e2n_off = np.zeros(gr.nel + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in gr.e2n], out=e2n_off[1:])
+    nbr_off = np.zeros(gr.nel + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in gr.neighbours], out=nbr_off[1:])
+    path = _path(cache_dir, ntheta, nr, spacing, star)
+    np.savez(
+        path,
+        x=gr.x, z=gr.z, theta=gr.theta, r=gr.r,
+        e2n_flat=np.concatenate(gr.e2n), e2n_off=e2n_off,
+        nbr_flat=np.concatenate(gr.neighbours) if gr.nel else np.zeros(0, np.int64),
+        nbr_off=nbr_off,
+        meta=np.array([gr.ntheta, gr.nr, gr.nel, gr.nnods], dtype=np.int64),
+        is_quad=gr.is_quad,
+        twin_class=gr.twin_class if gr.twin_class is not None else np.zeros(gr.nnods, np.int8),
+        A_indptr=A.indptr, A_indices=A.indices,
+        halo=halo,
+    )
+    return path
+
+
+def load_annulus(cache_dir: str, ntheta: int, nr: int, spacing: float, star: int
+                 ) -> Optional[Tuple[Grid2D, sp.csr_matrix, np.ndarray]]:
+    path = _path(cache_dir, ntheta, nr, spacing, star)
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as f:
+        nt, nrr, nel, nnods = (int(v) for v in f["meta"])
+        e2n_off = f["e2n_off"]
+        e2n_flat = f["e2n_flat"]
+        nbr_off = f["nbr_off"]
+        nbr_flat = f["nbr_flat"]
+        gr = Grid2D(
+            x=f["x"], z=f["z"], theta=f["theta"], r=f["r"],
+            e2n=[e2n_flat[e2n_off[i]:e2n_off[i + 1]] for i in range(nel)],
+            ntheta=nt, nr=nrr, nel=nel, nnods=nnods,
+            neighbours=[nbr_flat[nbr_off[i]:nbr_off[i + 1]] for i in range(nel)],
+            is_quad=f["is_quad"],
+            twin_class=f["twin_class"],
+        )
+        n = nnods
+        A = sp.csr_matrix(
+            (np.ones(len(f["A_indices"]), dtype=bool), f["A_indices"], f["A_indptr"]),
+            shape=(n, n),
+        )
+        halo = f["halo"]
+    return gr, A, halo
+
+
+def init_annulus_cached(ntheta: int, nr: int, spacing: float = 20.0, star: int = 1,
+                        cache_dir: str = ".cache"):
+    """init_annulus with a disk cache."""
+    hit = load_annulus(cache_dir, ntheta, nr, spacing, star)
+    if hit is not None:
+        return hit
+    from ..models.annulus import init_annulus
+
+    gr, A, halo = init_annulus(ntheta, nr, spacing=spacing, star=star)
+    try:
+        save_annulus(cache_dir, ntheta, nr, spacing, star, gr, A, halo)
+    except OSError:
+        pass
+    return gr, A, halo
