@@ -143,11 +143,17 @@ def csr_edge_weights(gr, rows: np.ndarray, cols: np.ndarray, U: np.ndarray) -> n
     L = np.sqrt((gr.x[rows] - gr.x[cols]) ** 2 + (gr.z[rows] - gr.z[cols]) ** 2)
     U = np.asarray(U)
     if U.ndim == 1:
-        return 2.0 * L / (U[rows] + U[cols])
-    head_above = gr.r[rows] > gr.r[cols]  # ray travels upward from col to row
-    U_head = np.where(head_above, U[cols, 1], U[cols, 0])
-    U_tail = np.where(head_above, U[rows, 0], U[rows, 1])
-    return 2.0 * L / (U_tail + U_head)
+        usum = U[rows] + U[cols]
+    else:
+        head_above = gr.r[rows] > gr.r[cols]  # ray travels upward from col to row
+        U_head = np.where(head_above, U[cols, 1], U[cols, 0])
+        U_tail = np.where(head_above, U[rows, 0], U[rows, 1])
+        usum = U_tail + U_head
+    # zero-velocity media (e.g. S waves in the liquid outer core) are
+    # impassable: weight +inf, never 0/0 = NaN (zero-length twin edges)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w = np.where(usum > 0, 2.0 * L / np.where(usum > 0, usum, 1.0), np.inf)
+    return w
 
 
 def build_circulant(

@@ -48,8 +48,16 @@ def edge_weights_scalar(gr, ell: ELLGraph, U: np.ndarray, dtype=np.float32) -> n
     Upad = np.full(n_pad, 1.0)
     Upad[: ell.n] = U
     L = _segment_lengths(_coords(gr), ell)
-    w = 2.0 * L / (Upad[:, None] + Upad[ell.nbr])
+    usum = Upad[:, None] + Upad[ell.nbr]
+    w = _safe_weight(L, usum)
     return np.where(ell.mask, w, INF).astype(dtype)
+
+
+def _safe_weight(L, usum):
+    """2L/usum with impassable (usum <= 0) media mapped to +inf, avoiding
+    0/0 NaN on zero-length twin edges in zero-velocity regions (e.g. S
+    waves in the liquid outer core)."""
+    return np.where(usum > 0, 2.0 * L / np.where(usum > 0, usum, 1.0), INF)
 
 
 def edge_weights_dual(gr, ell: ELLGraph, U: np.ndarray, dtype=np.float32) -> np.ndarray:
@@ -72,5 +80,5 @@ def edge_weights_dual(gr, ell: ELLGraph, U: np.ndarray, dtype=np.float32) -> np.
     U_tail = np.where(head_above, Upad[:, 0][:, None], Upad[:, 1][:, None])
 
     L = _segment_lengths(_coords(gr), ell)
-    w = 2.0 * L / (U_tail + U_head)
+    w = _safe_weight(L, U_tail + U_head)
     return np.where(ell.mask, w, INF).astype(dtype)

@@ -84,3 +84,23 @@ def test_annulus_solver_table(circ):
     table = solver.travel_time_table(srcs, recs)
     assert table.shape == (2, 2)
     assert np.isfinite(table).all()
+
+
+def test_s_wave_zero_velocity_core(tiny_annulus):
+    """Vs = 0 in the liquid outer core: impassable edges become +inf
+    weight (never NaN from zero-length twin edges), and the solve still
+    matches Dijkstra exactly on the reachable set."""
+    gr, A, halo = tiny_annulus
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vs)
+    U = rt.interpolate_velocity(gr.r, interp)
+    assert (U <= 0).sum() > 0  # outer core present
+    cg = build_circulant(gr, A, halo, U, dtype=np.float64)
+    assert not np.isnan(cg.w[np.isfinite(cg.w)]).any()
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    dist, _ = solve_circulant(cg, src, F64)
+    D = rt.dijkstra(A, halo, src, gr, U, F64)
+    ok = np.isfinite(D.dist)
+    assert not np.isnan(dist).any()
+    np.testing.assert_allclose(dist[ok], D.dist[ok], rtol=1e-12, atol=1e-9)
+    np.testing.assert_array_equal(np.isfinite(dist), ok)
