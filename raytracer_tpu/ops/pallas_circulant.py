@@ -234,25 +234,34 @@ def _ring_scan(dist: jax.Array, ring_w: jax.Array, nt: int) -> jax.Array:
     """Exact circular min-plus relaxation along every ring (both ways).
 
     dist: (T, S, ntp, 128); ring_w: (T, 128) per-slot adjacent-column hop
-    cost (+inf where the ring is broken).  One wrap suffices because all
-    costs are positive.
+    cost (+inf where the ring is broken).  With a UNIFORM per-hop cost c
+    along each ring the min-plus scan has a closed form in cumulative
+    mins:  fwd_i = min(prefmin_i(d_j - j c) + i c,
+                       suffmin_i(d_j - j c) + (nt + i) c)
+    (the second term is the seam-crossing path), so the whole scan is four
+    cummins + elementwise arithmetic - no associative_scan, no doubling.
+    Broken rings (c = +inf) are masked back to the input.
     """
     body = dist[:, :, :nt]                                   # (T,S,nt,128)
-    cost = jnp.broadcast_to(ring_w[:, None, None, :], body.shape)
+    finite = jnp.isfinite(ring_w)
+    c = jnp.where(finite, ring_w, 0.0)[:, None, None, :]     # safe arithmetic
+    j = jnp.arange(nt, dtype=dist.dtype)[None, None, :, None]
+    base = body - j * c
 
-    def combine(a, b):
-        (sa, ma), (sb, mb) = a, b
-        return sa + sb, jnp.minimum(ma + sb, mb)
+    def one_direction(b):
+        pref = jax.lax.cummin(b, axis=2)
+        suff = jnp.flip(jax.lax.cummin(jnp.flip(b, axis=2), axis=2), axis=2)
+        inner = pref + j * c
+        wrap = suff + (nt + 0.0) * c + j * c
+        return jnp.minimum(inner, wrap)
 
-    def one_direction(x):
-        x2 = jnp.concatenate([x, x], axis=2)                 # doubled ring
-        c2 = jnp.concatenate([cost, cost], axis=2)
-        _, m = jax.lax.associative_scan(combine, (c2, x2), axis=2)
-        return jnp.minimum(m[:, :, :nt], m[:, :, nt:])
+    fwd = one_direction(base)
+    # backward direction: relabel the ring in reverse
+    base_r = jnp.flip(body, axis=2) - j * c
+    bwd = jnp.flip(one_direction(base_r), axis=2)
 
-    fwd = one_direction(body)
-    bwd = jnp.flip(one_direction(jnp.flip(body, axis=2)), axis=2)
-    out = jnp.minimum(fwd, bwd)
+    out = jnp.minimum(body, jnp.minimum(fwd, bwd))
+    out = jnp.where(finite[:, None, None, :], out, body)
     if dist.shape[2] != nt:
         out = jnp.concatenate([out, dist[:, :, nt:]], axis=2)
     return out
@@ -262,27 +271,52 @@ def _slot_scan(dist: jax.Array, chain_w: jax.Array) -> jax.Array:
     """Min-plus scan along the slot axis (radial snake chains per column).
 
     dist: (T, S, ntp, 128); chain_w: (M_pad,) cost of the same-column edge
-    slot m -> m+1 (+inf where the chain is broken).  Linear (not circular):
-    slots do not wrap.
+    slot m -> m+1 (+inf where the chain is broken).  Linear (not circular).
+
+    Two-stage formulation that avoids the (slot-major) transpose: an
+    associative min-plus scan along the LANE axis inside each tile, then a
+    tiny sequential cross-tile carry (T steps) using precomputed in-tile
+    prefix costs.  +inf chain breaks propagate exactly through the cost
+    sums.
     """
     T, S, ntp, _ = dist.shape
-    m_pad = T * LANES
-    x = jnp.moveaxis(dist, 0, 2).reshape(S, ntp, m_pad)   # (S, ntp, M_pad)
-    cost_fwd = jnp.broadcast_to(jnp.roll(chain_w, 1)[None, None, :], x.shape)
-    cost_bwd = jnp.broadcast_to(chain_w[None, None, :], x.shape)
+    cw = chain_w.reshape(T, LANES)
 
     def combine(a, b):
         (sa, ma), (sb, mb) = a, b
         return sa + sb, jnp.minimum(ma + sb, mb)
 
-    # downward: value flows m -> m+1 with cost chain_w[m] (applied entering m+1)
-    _, fwd = jax.lax.associative_scan(combine, (cost_fwd, x), axis=2)
-    # upward: value flows m+1 -> m with the same edge cost (symmetric)
-    xr = jnp.flip(x, axis=2)
-    cr = jnp.flip(cost_bwd, axis=2)
-    _, bwdr = jax.lax.associative_scan(combine, (cr, xr), axis=2)
-    out = jnp.minimum(fwd, jnp.flip(bwdr, axis=2))
-    return jnp.moveaxis(out.reshape(S, ntp, T, LANES), 2, 0)
+    def directional(x, cost_in, bridge, cum):
+        # x: (T,S,ntp,128) scanned left-to-right along lanes;
+        # cost_in[t, l] = cost entering lane l from lane l-1 (inf at l=0);
+        # bridge[t] = cost from tile t-1's last lane into tile t's lane 0;
+        # cum[t, l] = in-tile cost from lane 0 to lane l (cum[t,0] = 0).
+        cb = jnp.broadcast_to(cost_in[:, None, None, :], x.shape)
+        _, d1 = jax.lax.associative_scan(combine, (cb, x), axis=3)
+        tiles = [d1[0]]
+        for t in range(1, T):
+            carry = tiles[t - 1][:, :, LANES - 1] + bridge[t]      # (S, ntp)
+            tiles.append(jnp.minimum(d1[t], carry[:, :, None] + cum[t][None, None, :]))
+        return jnp.stack(tiles, axis=0)
+
+    # forward (downward, increasing m)
+    costF = jnp.concatenate([jnp.full((1,), jnp.inf, cw.dtype), chain_w[:-1]]).reshape(T, LANES)
+    costF = costF.at[:, 0].set(jnp.inf)
+    cumF = jnp.cumsum(costF.at[:, 0].set(0.0), axis=1)
+    bridgeF = jnp.concatenate([jnp.full((1,), jnp.inf, cw.dtype), cw[:-1, LANES - 1]])
+    fwd = directional(dist, costF, bridgeF, cumF)
+
+    # backward (upward, decreasing m): scan the lane/tile-flipped arrays.
+    # Moving from flipped position q-1 (slot M-q) to q (slot M-1-q) crosses
+    # edge (M-1-q, M-q), i.e. cost_in_flipped[q] = flip(chain_w)[q].
+    xr = jnp.flip(dist, axis=(0, 3))
+    flipf = jnp.flip(chain_w).reshape(T, LANES)
+    bridgeB = jnp.concatenate([jnp.full((1,), jnp.inf, cw.dtype), flipf[1:, 0]])
+    costB = flipf.at[:, 0].set(jnp.inf)
+    cumB = jnp.cumsum(flipf.at[:, 0].set(0.0), axis=1)
+    bwd = jnp.flip(directional(xr, costB, bridgeB, cumB), axis=(0, 3))
+
+    return jnp.minimum(dist, jnp.minimum(fwd, bwd))
 
 
 class PallasCircState(NamedTuple):
