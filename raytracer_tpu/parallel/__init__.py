@@ -1,3 +1,3 @@
 """Multi-chip sharding: source-batch parallelism over a device mesh."""
 from .mesh import SOURCE_AXIS, make_mesh, pad_sources, replicated, source_sharding
-from .multisource import solve_sharded, travel_time_table
+from .multisource import solve_sharded, travel_time_table, travel_time_table_circulant

@@ -79,3 +79,77 @@ def travel_time_table(
     dist = st.dist  # (padded_sources, n_pad), sharded
     table = dist[:, jnp.asarray(np.asarray(receivers), jnp.int32)]
     return np.asarray(table)[: len(sources)]
+
+
+def travel_time_table_circulant(
+    cg,
+    sources: Sequence[int],
+    receivers: Sequence[int],
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    mesh: Optional[Mesh] = None,
+) -> np.ndarray:
+    """Sharded travel-time table on the circulant layout.
+
+    Sources shard over the mesh; each shard runs the jnp circulant
+    while_loop independently (no collectives).  `cg` is a CirculantGraph
+    from ops.circulant.build_circulant.
+    """
+    from ..ops.circulant import _circ_step, CircState
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    sources = np.asarray(sources)
+    padded = pad_sources(sources, n_dev)
+
+    cmap = cg.cmap
+    M, nt = cmap.M, cmap.ntheta
+    dtype = jnp.dtype(config.dtype)
+    src_flat = jnp.asarray(cg.src_flat)
+    w = jnp.asarray(cg.w)
+    fan_slots = jnp.asarray(cg.fan_slots)
+    fan_w = jnp.asarray(cg.fan_w)
+    max_iters = config.max_iters
+
+    # per-source initial states (host; small)
+    S = len(padded)
+    dist0 = np.full((S, M, nt), np.inf, dtype=dtype)
+    dcen0 = np.full((S,), np.inf, dtype=dtype)
+    for i, s in enumerate(padded):
+        if s == cmap.center:
+            dcen0[i] = 0.0
+        else:
+            dist0[i, cmap.m_of[s], cmap.c_of[s]] = 0.0
+
+    def solve_block(d0, c0):
+        def one(d, c):
+            st = CircState(d, c, jnp.asarray(True), jnp.zeros((), jnp.int32))
+
+            def cond(s):
+                return s.changed & (s.it < max_iters)
+
+            def body(s):
+                return _circ_step(s, src_flat, w, fan_slots, fan_w)
+
+            out = jax.lax.while_loop(cond, body, st)
+            return out.dist, out.dcen
+
+        return jax.vmap(one)(d0, c0)
+
+    fn = jax.jit(jax.shard_map(
+        solve_block,
+        mesh=mesh,
+        in_specs=(P(SOURCE_AXIS), P(SOURCE_AXIS)),
+        out_specs=(P(SOURCE_AXIS), P(SOURCE_AXIS)),
+        check_vma=False,
+    ))
+    dist, dcen = fn(jnp.asarray(dist0), jnp.asarray(dcen0))
+
+    receivers = np.asarray(receivers)
+    dist_np = np.asarray(dist)[: len(sources)]
+    out = np.empty((len(sources), len(receivers)))
+    for j, r in enumerate(receivers):
+        if r == cmap.center:
+            out[:, j] = np.asarray(dcen)[: len(sources)]
+        else:
+            out[:, j] = dist_np[:, cmap.m_of[r], cmap.c_of[r]]
+    return out

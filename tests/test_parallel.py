@@ -46,3 +46,19 @@ def test_reciprocity(tiny_annulus, tiny_velocity):
     b = rt.closest_point(gr, np.deg2rad(110.0), R, system="polar")
     table = travel_time_table(g, [a, b], [a, b], F64, make_mesh())
     np.testing.assert_allclose(table[0, 1], table[1, 0], rtol=1e-10)
+
+
+def test_sharded_circulant_table(tiny_annulus, tiny_velocity):
+    from raytracer_tpu.ops.circulant import build_circulant
+    from raytracer_tpu.parallel import travel_time_table_circulant
+
+    gr, A, halo = tiny_annulus
+    cg = build_circulant(gr, A, halo, tiny_velocity, dtype=np.float64)
+    mesh = make_mesh()
+    sources = [rt.closest_point(gr, np.deg2rad(d), R, system="polar") for d in (0.0, 60.0, 120.0)]
+    receivers = [rt.closest_point(gr, np.deg2rad(d), R, system="polar") for d in (30.0, 180.0)]
+    table = travel_time_table_circulant(cg, sources, receivers, F64, mesh)
+    assert table.shape == (3, 2)
+    g = rt.prepare(A, halo, gr, tiny_velocity, F64)
+    ref = travel_time_table(g, sources, receivers, F64, mesh)
+    np.testing.assert_allclose(table, ref, rtol=1e-12, atol=1e-9)
