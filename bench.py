@@ -100,6 +100,21 @@ def main():
     log(f"travel time at 60 deg: {t60:.2f} s (AK135 P ~ 600 s)")
     assert 550.0 < t60 < 750.0, f"unphysical travel time {t60}"
 
+    # accuracy anchor: RMSE vs independent 1-D ray theory (TauP stand-in)
+    try:
+        from raytracer_tpu.models.raytheory import ak135_first_arrivals
+
+        degs = np.arange(10.0, 95.0, 10.0)
+        recs = [rt.closest_point(gr, np.deg2rad(d), R, system="polar") for d in degs]
+        t_spm = np.asarray(D.dist)[recs]
+        t_ray = ak135_first_arrivals(degs)
+        rmse = float(np.sqrt(np.mean((t_spm - t_ray) ** 2)))
+        bias = float(np.mean(t_spm - t_ray))
+        log(f"RMSE vs ray theory (10-90 deg): {rmse:.2f} s (bias {bias:+.2f} s, "
+            f"SPM overshoots by grid discretisation)")
+    except Exception as e:  # noqa: BLE001
+        log(f"ray-theory anchor skipped: {e}")
+
     best = t_jnp
     method = "jnp-circulant"
     try:

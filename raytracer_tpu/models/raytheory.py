@@ -1,0 +1,106 @@
+"""Classical 1-D ray-theory travel times (independent accuracy anchor).
+
+The reference validated its travel times against TauP (error.png,
+main_annulus.jl:74-76 exports into a TauP comparison tree), which is not
+available offline.  This module computes first-arrival times for a radial
+velocity model by classical seismic ray theory, giving an independent,
+physics-based check of the SPM solver:
+
+  * per 1-km constant-velocity shell the ray integrals are analytic:
+      dDelta = arccos(a/r2) - arccos(a/r1),  a = p*v
+      dT     = (sqrt(r2^2-a^2) - sqrt(r1^2-a^2)) / v
+  * the first arrival is the lower tau-p envelope
+      t(Delta) = min_p [ tau(p) + p*Delta ],  tau = T - p*Delta
+    which is exact for all refracted branches (not for diffracted phases
+    like Pdiff, so comparisons should stay within the direct-P range,
+    roughly Delta <= 95 deg for AK135 P).
+
+SPM travel times are upper bounds on ray-theory times (paths restricted
+to graph edges), converging from above as the grid refines.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import R
+
+
+def _branch(p: np.ndarray, r: np.ndarray, v: np.ndarray):
+    """Delta(p), T(p) for surface-to-surface rays with parameter p.
+
+    r: shell boundary radii ascending (n+1,), v: shell velocities (n,).
+    Shells are traversed from the surface DOWN; the ray stops at its first
+    turning point (a >= inner radius of a shell).  The stop matters in
+    non-monotone-eta models: the CMB velocity drop makes core shells look
+    passable (eta jumps up) even though a mantle-turning ray never reaches
+    them - integrating those would fabricate paths.
+    """
+    p = np.atleast_1d(np.asarray(p, dtype=np.float64))
+    # descending order: shell k spans [r1d, r2d], r2d outer
+    r1d = r[:-1][::-1][None, :]
+    r2d = r[1:][::-1][None, :]
+    vd = v[::-1][None, :]
+    a = p[:, None] * vd
+
+    passes = a < r1d                       # fully traverses the shell
+    # alive_k: all shells above were fully traversed
+    alive = np.ones_like(passes)
+    alive[:, 1:] = np.cumprod(passes[:, :-1], axis=1)
+    alive = alive.astype(bool)
+
+    lo = np.maximum(r1d, a)
+    valid = alive & (r2d > lo)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s2 = np.sqrt(np.maximum(r2d * r2d - a * a, 0.0))
+        s1 = np.sqrt(np.maximum(lo * lo - a * a, 0.0))
+        dT = np.where(valid, (s2 - s1) / vd, 0.0)
+        c2 = np.clip(a / np.maximum(r2d, 1e-12), -1.0, 1.0)
+        c1 = np.clip(a / np.maximum(lo, 1e-12), -1.0, 1.0)
+        dD = np.where(valid, np.arccos(c2) - np.arccos(c1), 0.0)
+
+    delta = 2.0 * dD.sum(axis=1)
+    T = 2.0 * dT.sum(axis=1)
+    return delta, T
+
+
+def first_arrival(delta_deg, profile_r: np.ndarray, profile_v: np.ndarray,
+                  n_p: int = 20000) -> np.ndarray:
+    """First-arrival time(s) at epicentral distance(s) delta_deg.
+
+    tau-p lower envelope over a dense ray-parameter sweep; exact for
+    refracted branches.  profile_r ascending radii (km), profile_v the
+    velocity at those radii (km/s).
+    """
+    r = np.asarray(profile_r, dtype=np.float64)
+    vr = np.asarray(profile_v, dtype=np.float64)
+    # shell velocities at midpoints; drop zero-velocity shells (liquid
+    # core for S) by treating them as impassable (a ray hitting one turns)
+    v = 0.5 * (vr[:-1] + vr[1:])
+    v = np.maximum(v, 1e-9)
+
+    p_max = r[-1] / vr[-1]
+    p = np.linspace(1e-6, p_max * 0.9999, n_p)
+    delta, T = _branch(p, r, v)
+    tau = T - p * delta
+
+    out = []
+    for dd in np.atleast_1d(np.asarray(delta_deg, dtype=np.float64)):
+        d = np.deg2rad(dd)
+        out.append(np.min(tau + p * d))
+    return np.asarray(out)
+
+
+def ak135_first_arrivals(delta_deg, model: str = "ak135", wave: str = "Vp",
+                         shell_km: int = 4, n_p: int = 4000) -> np.ndarray:
+    """Convenience: first arrivals for the vendored AK135/IASP91 tables.
+
+    The 1-km table is resampled to `shell_km` shells (the analytic
+    per-shell integrals make the remaining discretisation error ~1 s,
+    far below the SPM grid error this anchors).
+    """
+    from .velocity import velocity_profile
+
+    prof = velocity_profile(model)
+    v = getattr(prof, wave if wave in ("Vp", "Vs") else "Vp")
+    step = max(int(shell_km), 1)
+    return first_arrival(delta_deg, prof.r[::step], v[::step], n_p=n_p)
