@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--spacing", type=float, default=20.0)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--model", default="ak135")
+    ap.add_argument("--wave", default="Vp", choices=["Vp", "Vs"])
+    ap.add_argument("--method", default="auto", choices=["auto", "circulant", "pallas", "ell"])
     ap.add_argument("--out-prefix", default="annulus_run")
     ap.add_argument("--plot", action="store_true")
     args = ap.parse_args()
@@ -48,11 +50,11 @@ def main():
 
     with timer.section("velocity"):
         prof = rt.velocity_profile(args.model)
-        interp = rt.LinearInterpolation(prof.r, prof.Vp)
+        interp = rt.LinearInterpolation(prof.r, getattr(prof, args.wave))
         Vp = rt.interpolate_velocity(gr.r, interp)
 
     with timer.section("solver pack"):
-        solver = rt.AnnulusSolver(gr, A, halo, Vp, cfg)
+        solver = rt.AnnulusSolver(gr, A, halo, Vp, cfg, method=args.method)
     print(f"solver method: {solver.method}")
 
     with timer.section("bfm solve (compile+run)"):
