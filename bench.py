@@ -105,7 +105,7 @@ def main():
         from raytracer_tpu.models.raytheory import ak135_first_arrivals
 
         degs = np.arange(10.0, 95.0, 10.0)
-        recs = [rt.closest_point(gr, np.deg2rad(d), R, system="polar") for d in degs]
+        recs = [rt.closest_point(gr, np.deg2rad(d), rt.R, system="polar") for d in degs]
         t_spm = np.asarray(D.dist)[recs]
         t_ray = ak135_first_arrivals(degs)
         rmse = float(np.sqrt(np.mean((t_spm - t_ray) ** 2)))

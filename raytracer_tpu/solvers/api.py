@@ -41,10 +41,12 @@ class AnnulusSolver:
     method:
       'auto'      -> 'circulant' (jnp row-gather solver; fast compile,
                      ~25% slower steady-state than 'pallas')
-      'pallas'    -> the Pallas lane-gather kernel (fastest steady-state
-                     and near-free source batching, but first-call
-                     compilation through the remote TPU compiler can take
-                     minutes; use with a persistent compilation cache)
+      'pallas'    -> Pallas lane-gather kernel, per-sweep grid launch
+                     (fast compile, near-free source batching)
+      'fused'     -> whole-solve-in-one-Pallas-kernel (fastest steady
+                     state: VMEM-resident distance field, in-kernel scans;
+                     minutes-long first compile - use the persistent
+                     compilation cache)
       'circulant' -> jnp circulant solver
       'ell'       -> general padded-ELL solver (any graph, incl. 3-D)
     Non-circulant meshes always fall back to 'ell'.
@@ -73,7 +75,7 @@ class AnnulusSolver:
         self._requested = method
 
         dtype = np.dtype(config.dtype)
-        if method in ("pallas", "circulant"):
+        if method in ("pallas", "circulant", "fused"):
             try:
                 self.circulant = build_circulant(gr, A, halo, U, dtype=dtype)
                 self._method = method
@@ -93,6 +95,12 @@ class AnnulusSolver:
 
     def _dist_batch(self, sources: Sequence[int]) -> np.ndarray:
         """(S, n) distance fields for a batch of sources."""
+        if self._method == "fused":
+            from ..ops.fused_circulant import solve_circulant_fused
+
+            dist, iters = solve_circulant_fused(self.circulant, sources, self.config)
+            self.last_iterations = iters
+            return dist
         if self._method == "pallas":
             dist, iters = solve_circulant_pallas(self.circulant, sources, self.config)
             self.last_iterations = iters

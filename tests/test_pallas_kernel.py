@@ -57,3 +57,18 @@ def test_pallas_kernel_batched_sources_interpret(small):
         d_ref, _ = solve_circulant(cg, s, F32)
         ok = np.isfinite(d_ref)
         np.testing.assert_allclose(d[i][ok], d_ref[ok], rtol=1e-6, atol=5e-3)
+
+
+def test_fused_kernel_matches_jnp_interpret(small):
+    from raytracer_tpu.ops.fused_circulant import solve_circulant_fused
+
+    gr, cg = small
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    d_ref, _ = solve_circulant(cg, src, F32)
+    d, _ = solve_circulant_fused(cg, [src], F32, interpret=True)
+    ok = np.isfinite(d_ref)
+    np.testing.assert_allclose(d[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3)
+    # centre source exercises the in-kernel fan path
+    d2, _ = solve_circulant_fused(cg, [cg.cmap.center], F32, interpret=True)
+    d2_ref, _ = solve_circulant(cg, cg.cmap.center, F32)
+    np.testing.assert_allclose(d2[0][ok], d2_ref[ok], rtol=1e-6, atol=5e-3)
