@@ -87,6 +87,15 @@ def probe_pallas():
     rt, gr, solver, source, rec60 = _build("pallas")
     compile_s, t_single, D = _measure(solver, source)
     log(f"pallas compile {compile_s:.1f}s, solve {t_single*1e3:.0f} ms, iters={solver.last_iterations}")
+    try:
+        degs = np.linspace(0.0, 175.0, 8)
+        sources = [rt.closest_point(gr, np.deg2rad(d), rt.R, system="polar") for d in degs]
+        solver.travel_time_table(sources, [rec60])  # compile S=8
+        t0 = time.time()
+        solver.travel_time_table(sources, [rec60])
+        log(f"pallas batched 8-source: {(time.time()-t0)/8*1e3:.0f} ms/source")
+    except Exception as e:  # noqa: BLE001
+        log(f"batched probe skipped: {type(e).__name__}")
     print(json.dumps({"t": t_single, "iters": solver.last_iterations, "t60": float(D.dist[rec60])}))
 
 

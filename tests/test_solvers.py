@@ -121,3 +121,22 @@ def test_f32_close_to_f64(tiny_annulus, tiny_velocity):
     ok = np.isfinite(d64.dist)
     # < 10 ms absolute error on ~1000 s travel times
     assert np.max(np.abs(d32.dist[ok] - d64.dist[ok])) < 1e-2
+
+
+def test_dual_velocity_end_to_end(tiny_annulus):
+    """(n, 2) above/below velocities through the full BFM path (the
+    reference's U::Matrix dispatch, src/SSSP/bfm.jl:113-159)."""
+    gr, A, halo = tiny_annulus
+    prof = rt.velocity_profile()
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U2 = rt.dual_velocity(gr.r, interp)
+    assert U2.shape == (gr.nnods, 2)
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    D2 = rt.bfm(A, halo, src, gr, U2, F64)
+    Dd = rt.dijkstra(A, halo, src, gr, U2, F64)
+    ok = np.isfinite(Dd.dist)
+    np.testing.assert_allclose(D2.dist[ok], Dd.dist[ok], rtol=1e-12, atol=1e-9)
+    # dual velocities differ from the scalar path only at discontinuities
+    U1 = rt.interpolate_velocity(gr.r, interp)
+    D1 = rt.bfm(A, halo, src, gr, U1, F64)
+    assert not np.allclose(D1.dist[ok], D2.dist[ok])
