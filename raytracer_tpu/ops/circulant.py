@@ -67,6 +67,8 @@ def column_map(gr) -> ColumnMap:
     by rotational symmetry.  Keys are quantised to kill fp noise.
     """
     nt = gr.ntheta
+    if nt < 3:
+        raise CirculantError(f"mesh has no theta-column structure (ntheta={nt})")
     dtheta = 2 * np.pi / nt
     center = int(np.flatnonzero((gr.r == 0.0))[0]) if (gr.r == 0.0).any() else -1
 
@@ -93,8 +95,9 @@ def column_map(gr) -> ColumnMap:
     # within each column block (sorted by c), slots are 0..M-1 in key order
     m_of[sorted_ids] = np.tile(np.arange(M), nt)
     c_of_full = c_of.copy()
-    c_of_full[center] = -1
-    m_of[center] = -1
+    if center >= 0:
+        c_of_full[center] = -1
+        m_of[center] = -1
 
     node_of = np.empty((M, nt), dtype=np.int64)
     node_of[m_of[sorted_ids], sorted_c] = sorted_ids
@@ -140,6 +143,8 @@ def csr_edge_weights(gr, rows: np.ndarray, cols: np.ndarray, U: np.ndarray) -> n
     Scalar U: harmonic mean (src/SSSP/bfm.jl:185); dual (n,2) U: branch-free
     head/tail above/below pick (src/SSSP/bfm.jl:134-146).
     """
+    from .weights import _safe_weight
+
     L = np.sqrt((gr.x[rows] - gr.x[cols]) ** 2 + (gr.z[rows] - gr.z[cols]) ** 2)
     U = np.asarray(U)
     if U.ndim == 1:
@@ -149,11 +154,7 @@ def csr_edge_weights(gr, rows: np.ndarray, cols: np.ndarray, U: np.ndarray) -> n
         U_head = np.where(head_above, U[cols, 1], U[cols, 0])
         U_tail = np.where(head_above, U[rows, 0], U[rows, 1])
         usum = U_tail + U_head
-    # zero-velocity media (e.g. S waves in the liquid outer core) are
-    # impassable: weight +inf, never 0/0 = NaN (zero-length twin edges)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        w = np.where(usum > 0, 2.0 * L / np.where(usum > 0, usum, 1.0), np.inf)
-    return w
+    return _safe_weight(L, usum)
 
 
 def build_circulant(
@@ -168,6 +169,19 @@ def build_circulant(
     """Extract and verify the circulant stencil from the general graph."""
     cmap = column_map(gr)
     nt, M = cmap.ntheta, cmap.M
+
+    # the geometry is circulant by construction once column_map succeeds;
+    # the VELOCITY FIELD is the free input and must itself be rotationally
+    # symmetric - check it exactly on every column (O(n), catches lateral
+    # anomalies the sampled pattern comparison below could miss)
+    if verify:
+        Uarr = np.asarray(U)
+        Ucols = Uarr[cmap.node_of]            # (M, nt) or (M, nt, 2)
+        ref_col = Ucols[:, :1]
+        if not np.allclose(Ucols, ref_col, rtol=rtol, atol=1e-12, equal_nan=True):
+            raise CirculantError(
+                "velocity field is not rotationally symmetric; use the ELL solver"
+            )
 
     halo = np.asarray(halo)
     coo = A.tocoo()
@@ -296,10 +310,14 @@ def _circ_step(state: CircState, src_flat, w, fan_slots, fan_w) -> CircState:
     g = R[src_flat]                      # (M, K, nt) row gather
     cand = jnp.min(g + w[:, :, None], axis=1)
 
-    # centre fan: centre -> slots and slots -> centre
-    fan = dist[fan_slots] + fan_w[:, None]        # (F, nt)
-    new_dcen = jnp.minimum(dcen, fan.min())
-    cand = cand.at[fan_slots].min(dcen + fan_w[:, None])
+    # centre fan: centre -> slots and slots -> centre (skip statically when
+    # the mesh has no core-centre node)
+    if fan_slots.shape[0] > 0:
+        fan = dist[fan_slots] + fan_w[:, None]    # (F, nt)
+        new_dcen = jnp.minimum(dcen, fan.min())
+        cand = cand.at[fan_slots].min(dcen + fan_w[:, None])
+    else:
+        new_dcen = dcen
 
     new_dist = jnp.minimum(dist, cand)
     changed = jnp.any(new_dist < dist) | (new_dcen < dcen)
@@ -355,42 +373,56 @@ def solve_circulant(
     dist = np.empty(cg.n, dtype=dist2d.dtype)
     valid = cmap.m_of >= 0
     dist[valid] = dist2d[cmap.m_of[valid], cmap.c_of[valid]]
-    dist[cmap.center] = np.asarray(st.dcen)
+    if cmap.center >= 0:
+        dist[cmap.center] = np.asarray(st.dcen)
     return dist, int(st.it)
 
 
-def recover_prev(gr, A: sp.csr_matrix, halo: np.ndarray, U: np.ndarray, dist: np.ndarray) -> np.ndarray:
-    """Shortest-path-tree predecessors from a converged distance field.
+class PrevRecovery:
+    """Shortest-path-tree predecessor recovery from a converged field.
 
-    One host pass: prev[i] = argmin_j dist[j] + w(j->i) over i's neighbours
-    (including halo twin links with an epsilon weight to break twin-twin
-    ping-pong ties).  Standard SSSP tree recovery - the distance field is
-    the fixpoint, so every node's best neighbour lies on a shortest path.
+    prev[i] = argmin_j dist[j] + w(j->i) over i's neighbours (including
+    halo twin links with an epsilon weight to break twin-twin ping-pong
+    ties).  Standard SSSP tree recovery - the distance field is the
+    fixpoint, so every node's best neighbour lies on a shortest path.
+
+    The edge list and weights depend only on (gr, A, halo, U): build once,
+    call per solve.
     """
-    coo = A.tocoo()
-    rows = coo.row.astype(np.int64)
-    cols = coo.col.astype(np.int64)
-    w = csr_edge_weights(gr, rows, cols, U)
-    halo = np.asarray(halo)
-    if halo.size:
-        rows = np.concatenate([rows, halo[:, 1]])
-        cols = np.concatenate([cols, halo[:, 0]])
-        w = np.concatenate([w, np.full(halo.shape[0], 1e-6)])
 
-    vals = dist[cols] + w
-    # tie-break equal-candidate sets (collinear chains of secondary nodes
-    # all lie on the same shortest path) toward the LONGEST hop, like the
-    # reference's iterative BFM does implicitly: quantise to 0.1 ms and
-    # prefer larger edge weight within a tie
-    vals_q = np.round(vals * 1e4)
-    order = np.lexsort((-w, vals_q, rows))
-    rows_s, cols_s, vals_s = rows[order], cols[order], vals[order]
-    first = np.searchsorted(rows_s, np.arange(len(dist)))
-    # rows with no entries point to themselves
-    prev = np.arange(len(dist), dtype=np.int64)
-    has = np.zeros(len(dist), dtype=bool)
-    has[rows_s] = True
-    safe_first = np.clip(first, 0, len(rows_s) - 1)
-    cand_prev = cols_s[safe_first]
-    prev = np.where(has & np.isfinite(dist), cand_prev, prev)
-    return prev
+    def __init__(self, gr, A: sp.csr_matrix, halo: np.ndarray, U: np.ndarray):
+        coo = A.tocoo()
+        rows = coo.row.astype(np.int64)
+        cols = coo.col.astype(np.int64)
+        w = csr_edge_weights(gr, rows, cols, U)
+        halo = np.asarray(halo)
+        if halo.size:
+            rows = np.concatenate([rows, halo[:, 1]])
+            cols = np.concatenate([cols, halo[:, 0]])
+            w = np.concatenate([w, np.full(halo.shape[0], 1e-6)])
+        self.rows, self.cols, self.w = rows, cols, w
+        self.n = A.shape[0]
+
+    def __call__(self, dist: np.ndarray) -> np.ndarray:
+        rows, cols, w = self.rows, self.cols, self.w
+        vals = dist[cols] + w
+        # tie-break equal-candidate sets (collinear chains of secondary
+        # nodes all lie on the same shortest path) toward the LONGEST hop,
+        # like the reference's iterative BFM does implicitly: quantise to
+        # 0.1 ms and prefer larger edge weight within a tie
+        vals_q = np.round(vals * 1e4)
+        order = np.lexsort((-w, vals_q, rows))
+        rows_s, cols_s = rows[order], cols[order]
+        first = np.searchsorted(rows_s, np.arange(self.n))
+        # rows with no entries point to themselves
+        prev = np.arange(self.n, dtype=np.int64)
+        has = np.zeros(self.n, dtype=bool)
+        has[rows_s] = True
+        safe_first = np.clip(first, 0, len(rows_s) - 1)
+        cand_prev = cols_s[safe_first]
+        return np.where(has & np.isfinite(dist), cand_prev, prev)
+
+
+def recover_prev(gr, A: sp.csr_matrix, halo: np.ndarray, U: np.ndarray, dist: np.ndarray) -> np.ndarray:
+    """One-shot convenience wrapper around PrevRecovery."""
+    return PrevRecovery(gr, A, halo, U)(dist)

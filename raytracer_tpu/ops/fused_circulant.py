@@ -262,5 +262,6 @@ def solve_circulant_fused(
     c = cmap.c_of[valid]
     for si in range(S):
         out[si, valid] = dist3[m // LANES, si * ntp + c, m % LANES]
-        out[si, cmap.center] = cen[si * ntp]
+        if cmap.center >= 0:
+            out[si, cmap.center] = cen[si * ntp]
     return out, -1

@@ -400,5 +400,6 @@ def solve_circulant_pallas(
     m = cmap.m_of[valid]
     c = cmap.c_of[valid]
     out[:, valid] = dist4[m // LANES, :, c, m % LANES].T
-    out[:, cmap.center] = np.asarray(st.dcen)
+    if cmap.center >= 0:
+        out[:, cmap.center] = np.asarray(st.dcen)
     return out, int(st.it)

@@ -17,22 +17,13 @@ from ..config import DEFAULT_SOLVER_CONFIG, SolverConfig
 from ..ops.circulant import (
     CirculantError,
     CirculantGraph,
+    PrevRecovery,
     build_circulant,
-    recover_prev,
     solve_circulant,
 )
 from ..ops.pallas_circulant import solve_circulant_pallas
 from . import bfm as _bfm
 from .types import BellmanFordMoore
-
-
-def _on_tpu() -> bool:
-    import jax
-
-    try:
-        return jax.devices()[0].platform not in ("cpu", "gpu")
-    except Exception:  # pragma: no cover - no backend at all
-        return False
 
 
 class AnnulusSolver:
@@ -69,6 +60,7 @@ class AnnulusSolver:
         self.circulant: Optional[CirculantGraph] = None
         self.ell = None
         self.last_iterations: Optional[int] = None
+        self._prev_recovery: Optional[PrevRecovery] = None
 
         if method == "auto":
             method = "circulant"
@@ -119,7 +111,9 @@ class AnnulusSolver:
             return _bfm.solve(self.ell, source, self.config)
         dist = self._dist_batch([source])[0]
         if want_prev:
-            prev = recover_prev(self.gr, self.A, self.halo, self.U, np.asarray(dist, np.float64))
+            if self._prev_recovery is None:
+                self._prev_recovery = PrevRecovery(self.gr, self.A, self.halo, self.U)
+            prev = self._prev_recovery(np.asarray(dist, np.float64))
             prev[source] = source
         else:
             prev = np.arange(len(dist))

@@ -126,7 +126,11 @@ def bfm_ms(
         mask = jnp.asarray(mask_np)
 
         if li > 0:
-            # restart from the best node on the level's first boundary
+            # restart from the best node on the level's first boundary:
+            # non-boundary distances reset to +inf, the boundary keeps its
+            # accumulated travel times (the reference never zeroes the new
+            # source, src/SSSP/bfm_new_ms.jl:96-110 - only the frontier is
+            # re-seeded around it)
             keep = bnodes[first_boundary]
             dist_np = np.asarray(dist)
             src = int(keep[np.argmin(dist_np[keep])])
@@ -135,7 +139,6 @@ def bfm_ms(
             dist = jnp.where(jnp.asarray(reset), jnp.asarray(np.inf, dtype), dist)
             st0 = init_state(g, jnp.asarray(src, jnp.int32), dtype)
             front = st0.front
-            dist = jnp.minimum(dist, st0.dist)
         else:
             front = st.front
 

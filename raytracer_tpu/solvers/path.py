@@ -16,9 +16,14 @@ def recontruct_path(prev, source: int, receiver: int) -> np.ndarray:
     """Walk prev from receiver until the source; returns node ids.
 
     Reference: src/SSSP/ssspm.jl:30-40 (with the same source sentinel
-    semantics); guards against cycles from unreachable receivers.
+    semantics); guards against cycles from unreachable receivers.  An
+    unreachable receiver (its predecessor is itself) yields the length-1
+    path [receiver] rather than fabricating a receiver->source hop - e.g.
+    S-wave receivers shadowed by the liquid outer core.
     """
     prev = np.asarray(prev)
+    if int(prev[receiver]) == int(receiver) and int(receiver) != int(source):
+        return np.asarray([int(receiver)], dtype=np.int64)
     path = [int(receiver)]
     ipath = int(prev[receiver])
     while ipath != source and ipath != path[-1] and len(path) <= len(prev):

@@ -60,7 +60,10 @@ def load_solution_npz(path: str):
     """
     with np.load(path) as f:
         data = {k: f[k] for k in f.files}
-    paths = [data[k] for k in sorted(data) if k.startswith("path_")]
+    keys = sorted(
+        (k for k in data if k.startswith("path_")), key=lambda k: int(k.split("_")[1])
+    )
+    paths = [data[k] for k in keys]
     return data, data["prev"], data["dist"], int(data["source"]), paths
 
 
