@@ -62,7 +62,7 @@ def _build(method):
 
     cfg = SolverConfig(dtype="float32")
     t0 = time.time()
-    solver = rt.AnnulusSolver(gr, A, halo, Vp, cfg, method=method)
+    solver = rt.AnnulusSolver(gr, A, halo, Vp, cfg, method=method, cache_dir=cache_dir)
     log(f"solver pack ({solver.method}): {time.time()-t0:.1f}s")
     source = rt.closest_point(gr, 0.0, R, system="polar")
     rec60 = rt.closest_point(gr, np.deg2rad(60.0), R, system="polar")

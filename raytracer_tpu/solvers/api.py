@@ -51,6 +51,7 @@ class AnnulusSolver:
         U: np.ndarray,
         config: SolverConfig = DEFAULT_SOLVER_CONFIG,
         method: str = "auto",
+        cache_dir: Optional[str] = None,
     ):
         self.gr = gr
         self.A = A
@@ -69,7 +70,12 @@ class AnnulusSolver:
         dtype = np.dtype(config.dtype)
         if method in ("pallas", "circulant", "fused"):
             try:
-                self.circulant = build_circulant(gr, A, halo, U, dtype=dtype)
+                if cache_dir is not None:
+                    from ..utils.cache import build_circulant_cached
+
+                    self.circulant = build_circulant_cached(gr, A, halo, U, dtype, cache_dir)
+                else:
+                    self.circulant = build_circulant(gr, A, halo, U, dtype=dtype)
                 self._method = method
             except CirculantError as e:
                 import warnings
