@@ -52,6 +52,23 @@ class SolverConfig:
     node_pad: int = 1024
     # pad neighbour count (ELL width) to a multiple of this
     degree_pad: int = 8
+    # termination slack for the scan-accelerated circulant solvers: stop
+    # once no distance improves by more than `tol` seconds.  The min-plus
+    # ring/chain scans re-round every iteration, so an exact no-change
+    # test (tol=0) can chase 1-ULP wiggle for thousands of iterations;
+    # the slack must exceed one f32 ULP of the LARGEST travel times
+    # (~2.4e-4 s at 2000 s), hence 1e-3 s for f32 - still two orders of
+    # magnitude inside the 0.1 s accuracy target.  None (default) picks
+    # 1e-3 for float32 and exact 0.0 for float64.  The exact solvers
+    # (ELL, Dijkstra, jnp circulant without scans) ignore it.
+    tol: float = None
+
+    def tol_value(self) -> float:
+        if self.tol is not None:
+            return self.tol
+        import numpy as np
+
+        return 1e-3 if np.dtype(self.dtype) == np.float32 else 0.0
 
 
 DEFAULT_SOLVER_CONFIG = SolverConfig()

@@ -174,7 +174,58 @@ def edge_connectivity(gr: Grid2D):
     return edges, edge2el
 
 
-def secondary_nodes(gr: Grid2D, spacing: float = 20.0) -> Grid2D:
+def edge_connectivity_faithful(gr: Grid2D):
+    """Bug-faithful replication of the reference's edge bookkeeping.
+
+    The reference edge_connectivity (src/GridAnnulus.jl:515-595) has two
+    intertwined defects that this function reproduces exactly:
+
+      * the neighbour-marking loop `for i in 1:nedge: if issubset(...)`
+        tests a condition independent of `i`, so it always writes
+        `el2edge[1, ieln]` (slot 1) regardless of WHICH local edge of the
+        neighbour actually coincides - later elements therefore re-create
+        geometric edges whose true slot is not 1 (every radial edge is
+        created twice, once per adjacent column);
+      * `issubset(edge, edge_neighbour)` only checks that both endpoints
+        are vertices of the neighbour, not that the neighbour has that
+        edge, so corner configurations (e.g. the k=0 quads against the
+        core triangle fan) can mark-and-suppress a slot whose edge is
+        only created much later by a different element.
+
+    The resulting duplicate coincident secondary nodes are what give the
+    reference its published node counts (e.g. 328,510 at 180x63/star1
+    versus 150,121 for the intended unique-edge mesh); travel times are
+    unaffected because duplicates are coincident and share parents.
+
+    Returns (edges, edge2el) like edge_connectivity, WITH duplicates.
+    """
+    nel = gr.nel
+    verts = [frozenset(int(v) for v in nodes) for nodes in gr.e2n]
+    local_edges = [nodes[_QUAD_EDGES if gr.is_quad[e] else _TRI_EDGES]
+                   for e, nodes in enumerate(gr.e2n)]
+
+    slot0_mark = np.zeros(nel, dtype=bool)   # el2edge[1, :] != 0 in the ref
+    edges_out = []
+    edge2el = []
+    for iel in range(nel):
+        led = local_edges[iel]
+        nbrs = gr.neighbours[iel]
+        for iedge in range(len(led)):
+            if iedge == 0 and slot0_mark[iel]:
+                continue
+            a, b = int(led[iedge, 0]), int(led[iedge, 1])
+            pair = (a, b) if a < b else (b, a)
+            parents = [iel]
+            for ieln in nbrs:
+                if a in verts[ieln] and b in verts[ieln]:
+                    slot0_mark[ieln] = True
+                    parents.append(int(ieln))
+            edges_out.append(pair)
+            edge2el.append(np.asarray(parents, dtype=np.int64))
+    return np.asarray(edges_out, dtype=np.int64), edge2el
+
+
+def secondary_nodes(gr: Grid2D, spacing: float = 20.0, faithful: bool = False) -> Grid2D:
     """Subdivide every element edge with nodes every `spacing` km.
 
     Vectorised equivalent of src/GridAnnulus.jl:607-698: per edge of length
@@ -182,8 +233,15 @@ def secondary_nodes(gr: Grid2D, spacing: float = 20.0) -> Grid2D:
     floor(L/spacing) interior points are placed at uniform parametric
     fractions and appended to the node set; each new node joins the
     element->node list of every element sharing the edge.
+
+    faithful=True walks the reference's duplicated edge list
+    (edge_connectivity_faithful) instead of the unique one, reproducing
+    its coincident duplicate secondary nodes and node counts.
     """
-    edges, edge2el = edge_connectivity(gr)
+    if faithful:
+        edges, edge2el = edge_connectivity_faithful(gr)
+    else:
+        edges, edge2el = edge_connectivity(gr)
     th, r = gr.theta, gr.r
     icenter = gr.nr * gr.ntheta  # core centre node id
     eps = 2 * np.pi - (1 - 1 / gr.ntheta)  # seam-wrap threshold (ref :621)
@@ -412,15 +470,21 @@ def _node_adjacency_scipy(gr: Grid2D, star: int = 1) -> sp.csr_matrix:
     return A
 
 
-def init_annulus(ntheta: int, nr: int, spacing: float = 20.0, star: int = 1):
+def init_annulus(ntheta: int, nr: int, spacing: float = 20.0, star: int = 1,
+                 faithful: bool = False):
     """Build grid, adjacency and halo table (src/GridAnnulus.jl:57-70).
 
     Returns (gr, A, halo): the grid, the node-adjacency CSR matrix (the
     flattened equivalent of the reference's element-incidence graph G) and
     the (2*ntwins, 2) halo twin table.
+
+    faithful=True replicates the reference mesher's duplicated secondary
+    nodes (see edge_connectivity_faithful) for mesh-vs-mesh accuracy
+    comparisons against the Julia CPU output; default False builds the
+    intended deduplicated graph of the same physical task.
     """
     gr = primary_grid(ntheta, nr, R)
-    gr = secondary_nodes(gr, spacing=spacing)
+    gr = secondary_nodes(gr, spacing=spacing, faithful=faithful)
     constrain2layers(gr)
     gr, halo = discontinuous_boundaries(gr, spacing)
     A = node_adjacency(gr, star=star)

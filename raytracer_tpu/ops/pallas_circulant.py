@@ -330,8 +330,8 @@ class PallasCircState(NamedTuple):
     jax.jit,
     static_argnames=("T", "nt", "S", "ntp", "max_iters", "ring_every", "interpret"),
 )
-def _solve_pallas_jit(dist0, dcen0, idx, w, offs, u_of, ring_w, chain_w, fan_w, T: int, nt: int,
-                      S: int, ntp: int, max_iters: int, ring_every: int,
+def _solve_pallas_jit(dist0, dcen0, idx, w, offs, u_of, ring_w, chain_w, fan_w, tol,
+                      T: int, nt: int, S: int, ntp: int, max_iters: int, ring_every: int,
                       interpret: bool) -> PallasCircState:
     state = PallasCircState(dist0, dcen0, jnp.asarray(True), jnp.zeros((), jnp.int32))
 
@@ -352,7 +352,7 @@ def _solve_pallas_jit(dist0, dcen0, idx, w, offs, u_of, ring_w, chain_w, fan_w, 
         fanned = d + fan_w[:, None, None, :]
         dcen = jnp.minimum(s.dcen, fanned.min(axis=(0, 2, 3)))
         d = jnp.minimum(d, s.dcen[None, :, None, None] + fan_w[:, None, None, :])
-        changed = jnp.any(d < s.dist) | jnp.any(dcen < s.dcen)
+        changed = jnp.any(d < s.dist - tol) | jnp.any(dcen < s.dcen - tol)
         return PallasCircState(d, dcen, changed, s.it + 1)
 
     return jax.lax.while_loop(cond, body, state)
@@ -392,6 +392,7 @@ def solve_circulant_pallas(
         jnp.asarray(ts.idx), jnp.asarray(ts.w),
         jnp.asarray(ts.offs), jnp.asarray(ts.u_of),
         jnp.asarray(ts.ring_w), jnp.asarray(ts.chain_w), jnp.asarray(ts.fan_w),
+        jnp.asarray(config.tol_value(), dtype),
         T, nt, S, ntp, config.max_iters, ring_every, interpret,
     )
     dist4 = np.asarray(st.dist)   # (T, S, ntp, 128)

@@ -30,15 +30,16 @@ class AnnulusSolver:
     """One-time graph packing + repeated SSSP solves.
 
     method:
-      'auto'      -> 'circulant' (jnp row-gather solver; fast compile,
-                     ~25% slower steady-state than 'pallas')
+      'auto'      -> 'diag' on TPU (fastest); 'circulant' elsewhere (the
+                     diag kernel's interpret mode is for tests only)
+      'diag'      -> diagonal-band Pallas kernel (ops/diag_circulant.py):
+                     no gathers, sublane-shifted add+min per diagonal
       'pallas'    -> Pallas lane-gather kernel, per-sweep grid launch
-                     (fast compile, near-free source batching)
-      'fused'     -> whole-solve-in-one-Pallas-kernel (fastest steady
-                     state: VMEM-resident distance field, in-kernel scans;
-                     minutes-long first compile - use the persistent
-                     compilation cache)
-      'circulant' -> jnp circulant solver
+                     (near-free source batching along kernel rows)
+      'fused'     -> whole-solve-in-one-Pallas-kernel (VMEM-resident
+                     distance field; minutes-long first compile - use the
+                     persistent compilation cache)
+      'circulant' -> jnp circulant solver (row gathers; reliable compile)
       'ell'       -> general padded-ELL solver (any graph, incl. 3-D)
     Non-circulant meshes always fall back to 'ell'.
     """
@@ -64,11 +65,14 @@ class AnnulusSolver:
         self._prev_recovery: Optional[PrevRecovery] = None
 
         if method == "auto":
-            method = "circulant"
+            import jax
+
+            method = "diag" if jax.devices()[0].platform == "tpu" else "circulant"
         self._requested = method
+        self._diag_stencil = None
 
         dtype = np.dtype(config.dtype)
-        if method in ("pallas", "circulant", "fused"):
+        if method in ("diag", "pallas", "circulant", "fused"):
             try:
                 if cache_dir is not None:
                     from ..utils.cache import build_circulant_cached
@@ -97,6 +101,18 @@ class AnnulusSolver:
             from ..ops.fused_circulant import solve_circulant_fused
 
             dist, iters = solve_circulant_fused(self.circulant, sources, self.config)
+            self.last_iterations = iters
+            return dist
+        if self._method == "diag":
+            from ..ops.diag_circulant import pack_diag_stencil, solve_circulant_diag
+
+            if self._diag_stencil is None:
+                self._diag_stencil = pack_diag_stencil(
+                    self.circulant, dtype=np.dtype(self.config.dtype)
+                )
+            dist, iters = solve_circulant_diag(
+                self.circulant, sources, self.config, _packed=self._diag_stencil
+            )
             self.last_iterations = iters
             return dist
         if self._method == "pallas":

@@ -1,0 +1,195 @@
+"""TPU-fast SSSP on the regular 3-D spherical-shell grid.
+
+Replaces the reference's legacy 3-D CUDA solvers
+(src/Dijsktra.jl:196-292,459-481) with a design that exploits the grid
+regularity the reference never used: the star-0 nodal stencil of a
+structured hexahedral lattice is the fixed 26-point neighbourhood
+(di, dj, dk) in {-1,0,1}^3 \\ {0}, so one relaxation sweep is 26
+STATICALLY-shifted whole-array add+min ops over the dense
+(nr, nphi, ntheta) distance field - no gathers, no adjacency structure,
+nothing for XLA to serialize.  Per-shift edge weights (2*L/(U1+U2),
+identical formula to the 2-D solvers / reference bfm) are precomputed
+host-side with +inf at the non-periodic box faces.
+
+Six exact (sum, min) min-plus scans (both directions along each axis)
+propagate along grid lines in one step, cutting the iteration count from
+O(n0+n1+n2) to roughly the number of direction changes of the optimal
+paths; they only apply valid single-axis relaxation chains, so the
+fixpoint is unchanged.  Termination uses config.tol (see
+config.SolverConfig).
+
+`solve3d` matches `bfm.bfm3d` (ELL path) and Dijkstra on the same weight
+matrix - asserted in tests/test_grid3d.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_SOLVER_CONFIG, SolverConfig
+from ..models.grid3d import Grid3D
+from ..ops.weights import _safe_weight
+
+SHIFTS = tuple(
+    (dk, dj, di)
+    for dk in (-1, 0, 1)
+    for dj in (-1, 0, 1)
+    for di in (-1, 0, 1)
+    if (dk, dj, di) != (0, 0, 0)
+)
+
+
+def _shifted_weights(gr: Grid3D, U: np.ndarray, dtype=np.float32) -> np.ndarray:
+    """(26, n2, n1, n0) per-shift edge weights, +inf across box faces.
+
+    W[s, k, j, i] = weight of the edge from node (i+di, j+dj, k+dk) into
+    node (i, j, k) for shift s = (dk, dj, di).
+    """
+    n0, n1, n2 = gr.nnods
+    shp = (n2, n1, n0)
+    X = gr.x.reshape(shp)
+    Y = gr.y.reshape(shp)
+    Z = gr.z.reshape(shp)
+    Ug = np.asarray(U, dtype=np.float64).reshape(shp)
+
+    W = np.full((len(SHIFTS),) + shp, np.inf, dtype=np.float64)
+    for s, (dk, dj, di) in enumerate(SHIFTS):
+        src = tuple(np.roll(a, (-dk, -dj, -di), axis=(0, 1, 2)) for a in (X, Y, Z, Ug))
+        L = np.sqrt((src[0] - X) ** 2 + (src[1] - Y) ** 2 + (src[2] - Z) ** 2)
+        w = _safe_weight(L, Ug + src[3])
+        # mask wrapped entries (non-periodic box)
+        if dk == 1:
+            w[n2 - 1:, :, :] = np.inf
+        elif dk == -1:
+            w[:1, :, :] = np.inf
+        if dj == 1:
+            w[:, n1 - 1:, :] = np.inf
+        elif dj == -1:
+            w[:, :1, :] = np.inf
+        if di == 1:
+            w[:, :, n0 - 1:] = np.inf
+        elif di == -1:
+            w[:, :, :1] = np.inf
+        W[s] = w
+    return W.astype(dtype)
+
+
+def _sweep(dist: jax.Array, W: jax.Array) -> jax.Array:
+    out = dist
+    for s, (dk, dj, di) in enumerate(SHIFTS):
+        src = jnp.roll(dist, shift=(-dk, -dj, -di), axis=(0, 1, 2))
+        out = jnp.minimum(out, src + W[s])
+    return out
+
+
+def _axis_scan(dist: jax.Array, cost_fwd: jax.Array, cost_bwd: jax.Array, axis: int) -> jax.Array:
+    """Exact min-plus chain relaxation along `axis`, both directions.
+
+    cost_fwd[..., t, ...] = weight entering position t from t-1 (+inf at
+    t=0); cost_bwd = entering t from t+1 (flipped for the reverse scan).
+    """
+
+    def combine(a, b):
+        (sa, ma), (sb, mb) = a, b
+        return sa + sb, jnp.minimum(ma + sb, mb)
+
+    out = dist
+    for cost, flip in ((cost_fwd, False), (cost_bwd, True)):
+        x = jnp.flip(dist, axis=axis) if flip else dist
+        c = jnp.flip(cost, axis=axis) if flip else cost
+        _, scanned = jax.lax.associative_scan(combine, (c, x), axis=axis)
+        if flip:
+            scanned = jnp.flip(scanned, axis=axis)
+        out = jnp.minimum(out, scanned)
+    return out
+
+
+class Solve3DState(NamedTuple):
+    dist: jax.Array
+    changed: jax.Array
+    it: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "scan_every"))
+def _solve3d_jit(dist0, W, scan_costs, tol, max_iters: int, scan_every: int) -> Solve3DState:
+    state = Solve3DState(dist0, jnp.asarray(True), jnp.zeros((), jnp.int32))
+
+    def scans(d):
+        for axis, (cf, cb) in enumerate(scan_costs):
+            d = _axis_scan(d, cf, cb, axis)
+        return d
+
+    def cond(s: Solve3DState):
+        return s.changed & (s.it < max_iters)
+
+    def body(s: Solve3DState):
+        d = s.dist
+        if scan_every == 1:
+            d = scans(d)
+        elif scan_every > 1:
+            d = jax.lax.cond(s.it % scan_every == 0, scans, lambda x: x, d)
+        d = _sweep(d, W)
+        changed = jnp.any(d < s.dist - tol)
+        return Solve3DState(d, changed, s.it + 1)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+class Packed3D(NamedTuple):
+    W: jax.Array
+    scan_costs: tuple
+    shape: Tuple[int, int, int]
+
+
+def prepare3d(gr: Grid3D, U: np.ndarray, config: SolverConfig = DEFAULT_SOLVER_CONFIG) -> Packed3D:
+    """Precompute device arrays for repeated solve3d calls."""
+    dtype = np.dtype(config.dtype)
+    W = _shifted_weights(gr, U, dtype)
+    # axis scans: axis 0 = k (r), 1 = j (phi), 2 = i (theta);
+    # forward cost entering t from t-1 = weight of shift -1 along that axis
+    def shift_w(dk, dj, di):
+        return jnp.asarray(W[SHIFTS.index((dk, dj, di))])
+
+    scan_costs = (
+        (shift_w(-1, 0, 0), shift_w(1, 0, 0)),
+        (shift_w(0, -1, 0), shift_w(0, 1, 0)),
+        (shift_w(0, 0, -1), shift_w(0, 0, 1)),
+    )
+    n0, n1, n2 = gr.nnods
+    return Packed3D(W=jnp.asarray(W), scan_costs=scan_costs, shape=(n2, n1, n0))
+
+
+def solve3d(
+    gr: Grid3D,
+    U: np.ndarray,
+    sources: Sequence[int],
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    scan_every: int = 1,
+    _packed: Packed3D = None,
+) -> Tuple[np.ndarray, int]:
+    """(S, nnods) distance fields on the structured 3-D grid.
+
+    The star-0 stencil solve; star-1 graphs (element-neighbour expansion)
+    fall back to the generic ELL solver (bfm.bfm3d).
+    """
+    packed = _packed if _packed is not None else prepare3d(gr, U, config)
+    shp = packed.shape
+    dtype = np.dtype(config.dtype)
+    sources = np.atleast_1d(np.asarray(sources, dtype=np.int64))
+    tol = jnp.asarray(config.tol_value(), dtype)
+
+    out = np.empty((len(sources), gr.nnods_total), dtype=dtype)
+    iters = 0
+    for si, src in enumerate(sources):
+        dist0 = np.full(shp, np.inf, dtype=dtype)
+        dist0.ravel()[src] = 0.0  # flat id layout: theta fastest (grid3d.py:27)
+        st = _solve3d_jit(jnp.asarray(dist0), packed.W, packed.scan_costs, tol,
+                          config.max_iters, scan_every)
+        out[si] = np.asarray(st.dist).ravel()
+        iters = int(st.it)
+    return out, iters

@@ -105,3 +105,34 @@ def test_multisource_3d():
     for i, s in enumerate(sources):
         single = rt.solve(gdev, s, F64)
         np.testing.assert_allclose(many.dist[i], single.dist, rtol=1e-12)
+
+
+def test_solve3d_matches_bfm3d():
+    from raytracer_tpu.solvers.solve3d import solve3d
+
+    g = _example_grid()
+    A = nodal_incidence3d(g)
+    prof = rt.velocity_profile()
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = interp(g.r)
+    src = closest_point3d(g, *spherical2cart(np.deg2rad(90.0), np.deg2rad(90.0), R))
+    D_ref = bfm3d(A, src, g, U, F64)
+    dist, it = solve3d(g, U, [src], F64)
+    assert it > 0
+    np.testing.assert_allclose(dist[0], D_ref.dist, rtol=1e-9, atol=1e-6)
+
+
+def test_solve3d_multi_source_and_scan_every():
+    from raytracer_tpu.solvers.solve3d import prepare3d, solve3d
+
+    g = _example_grid((7, 5, 4))
+    A = nodal_incidence3d(g)
+    U = np.full(len(g), 8.0)
+    packed = prepare3d(g, U, F64)
+    sources = [0, len(g) // 2]
+    dist, _ = solve3d(g, U, sources, F64, _packed=packed)
+    dist2, _ = solve3d(g, U, sources, F64, scan_every=2, _packed=packed)
+    np.testing.assert_allclose(dist, dist2, rtol=1e-9, atol=1e-6)
+    for i, s in enumerate(sources):
+        D_ref = bfm3d(A, s, g, U, F64)
+        np.testing.assert_allclose(dist[i], D_ref.dist, rtol=1e-9, atol=1e-6)
