@@ -1,9 +1,9 @@
 """Grid-size benchmark sweep, reproducing the reference's benchmark matrix.
 
 Equivalent of benchmarks/gpu.jl + process_benchmark.jl: sweeps the same
-(ntheta, nr) configurations, times Dijkstra (host baseline) and the TPU
-BFM solves, and writes a CSV shaped like the reference's
-`GPU_*_star1_NOreorder_new.csv` result files.
+(ntheta, nr) configurations and times the TPU solves, writing
+benchmarks/results_tpu.csv with the reference's published numbers
+(GPU_*_star1_NOreorder(_new).csv) alongside for direct comparison.
 
 Usage:  python benchmarks/sweep.py [--out benchmarks/results_tpu.csv]
                                    [--configs small|full] [--method auto]
@@ -18,70 +18,84 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# (ntheta, nr, wave): reference rows are AK135 P-wave; the 720x200 row is
+# BASELINE config #3 (IASP91 Vs on the refined annulus, no reference rows
+# exist at that size).  Reference numbers from /root/reference/benchmarks/
+# GPU_1_threads_star1_NOreorder_new.csv / GPU_4_threads... / same files'
+# GPU column (GTX 1660 Ti).
+REF = {
+    (90, 32): (1.11, 0.41, 0.81),
+    (180, 63): (6.05, 2.31, 1.11),
+    (180, 90): (11.24, 3.84, 2.36),
+}
 CONFIGS = {
-    # (ntheta, nr) rows of the reference CSVs (benchmarks/gpu.jl:70-71);
-    # the degenerate (5, 5) row is omitted by default: at ntheta=5 the
-    # seam-spanning edges break the circulant symmetry and the run falls
-    # back to the (slow-on-TPU) ELL path - it works, but dominates the
-    # sweep wall-clock for a 1,015-node toy grid
-    "full": [(90, 32), (180, 63), (180, 90)],
-    "small": [(90, 32), (180, 63)],
-    "tiny": [(5, 5), (45, 16)],
+    # the degenerate (5, 5) reference row is omitted by default: at
+    # ntheta=5 the seam-spanning edges break the circulant symmetry and
+    # the run falls back to the (slow-on-TPU) ELL path - it works, but
+    # dominates the sweep wall-clock for a 1,015-node toy grid
+    "full": [(90, 32, "P"), (180, 63, "P"), (180, 90, "P"), (720, 200, "S")],
+    "small": [(90, 32, "P"), (180, 63, "P")],
+    "tiny": [(45, 16, "P")],
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results_tpu.csv"))
-    ap.add_argument("--configs", default="small", choices=list(CONFIGS))
+    ap.add_argument("--configs", default="full", choices=list(CONFIGS))
     ap.add_argument("--method", default="auto")
-    ap.add_argument("--skip-dijkstra", action="store_true")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
-    )
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir", os.path.join(root, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import raytracer_tpu as rt
     from raytracer_tpu.config import R, SolverConfig
     from raytracer_tpu.utils.cache import init_annulus_cached
 
-    prof = rt.velocity_profile("ak135")
-    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    cache_dir = os.path.join(root, ".cache")
     cfg = SolverConfig(dtype="float32")
 
     rows = []
-    for ntheta, nr in CONFIGS[args.configs]:
+    for ntheta, nr, wave in CONFIGS[args.configs]:
         t0 = time.time()
-        gr, A, halo = init_annulus_cached(ntheta, nr, spacing=20.0, cache_dir=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache"))
+        gr, A, halo = init_annulus_cached(ntheta, nr, spacing=20.0, cache_dir=cache_dir)
         t_build = time.time() - t0
-        Vp = rt.interpolate_velocity(gr.r, interp)
+
+        model = "iasp91" if wave == "S" else "ak135"
+        prof = rt.velocity_profile(model)
+        vel = prof.Vs if wave == "S" else prof.Vp
+        interp = rt.LinearInterpolation(prof.r, vel)
+        U = rt.interpolate_velocity(gr.r, interp)
         source = rt.closest_point(gr, 0.0, R, system="polar")
 
-        t_dij = float("nan")
-        if not args.skip_dijkstra:
-            t0 = time.time()
-            rt.dijkstra(A, halo, source, gr, Vp, cfg)
-            t_dij = time.time() - t0
-
-        solver = rt.AnnulusSolver(gr, A, halo, Vp, cfg, method=args.method)
+        solver = rt.AnnulusSolver(gr, A, halo, U, cfg, method=args.method,
+                                  cache_dir=cache_dir)
         solver.solve(source, want_prev=False)  # compile
-        t0 = time.time()
-        solver.solve(source, want_prev=False)
-        t_bfm = time.time() - t0
+        solver.solve(source, want_prev=False)  # warm
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            solver.solve(source, want_prev=False)
+            times.append(time.time() - t0)
+        t_bfm = float(np.median(times))
 
+        ref = REF.get((ntheta, nr), (float("nan"),) * 3)
         row = {
             "nodes": gr.nnods,
             "ntheta": ntheta,
             "nr": nr,
+            "wave": wave,
             "build_s": round(t_build, 3),
-            "dijkstra_host_s": round(t_dij, 4),
             "bfm_tpu_s": round(t_bfm, 4),
             "method": solver.method,
             "iters": solver.last_iterations,
+            "ref_cpu1t_s": ref[0],
+            "ref_cpu4t_s": ref[1],
+            "ref_gtx1660ti_s": ref[2],
         }
         rows.append(row)
         print(row, flush=True)
@@ -90,6 +104,16 @@ def main():
         wr = csv.DictWriter(f, fieldnames=list(rows[0]))
         wr.writeheader()
         wr.writerows(rows)
+        f.write(
+            "# nodes: this mesher's deduplicated counts; the reference CSV rows\n"
+            "# (same ntheta x nr task, spacing=20, star-1) carry duplicated nodes\n"
+            "# from its edge bookkeeping (86140 / 328510 / 464590); see ACCURACY.md.\n"
+            "# ref_* columns: GPU_*_star1_NOreorder(_new).csv from /root/reference.\n"
+            "# bfm_tpu_s: single-source steady-state solve, one TPU v5e chip, f32,\n"
+            "# median of 3 (includes the full-field device->host pull, ~28 ms floor).\n"
+            "# 720x200 row: IASP91 Vs (S-wave), BASELINE config #3; no reference\n"
+            "# rows exist at this size.\n"
+        )
     print(f"wrote {args.out}")
 
 

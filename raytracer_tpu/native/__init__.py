@@ -57,9 +57,8 @@ def _p(a: np.ndarray):
 
 
 def node_adjacency_native(e2n, neighbours, nnods: int, star: int) -> Optional[sp.csr_matrix]:
-    """C++ node adjacency; returns None when unavailable or star > 1."""
-    if star > 1:
-        return None
+    """C++ node adjacency (any star level); None when the toolchain is
+    unavailable (callers fall back to the scipy reference path)."""
     lib = _load()
     if lib is None:
         return None

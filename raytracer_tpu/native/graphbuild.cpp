@@ -21,7 +21,10 @@ extern "C" {
 //   e2n_flat / e2n_off   : ragged element -> node lists (nel+1 offsets)
 //   nbr_flat / nbr_off   : ragged element -> neighbour-element lists
 //   nel, nnods           : counts
-//   star                 : 0 = own elements only, 1 = + 1-ring neighbours
+//   star                 : 0 = own elements only, s >= 1 = + all elements
+//                          within s hops of the element-neighbour graph
+//                          (matching the scipy reference's boolean
+//                          (I + N)^s expansion, add_star_levels! analogue)
 // Two-phase API to let the caller allocate exact output buffers:
 //   phase 1 (indices == nullptr): fills indptr (size nnods+1), returns nnz
 //   phase 2 (indices != nullptr): fills indices (sorted per row)
@@ -47,23 +50,38 @@ int64_t node_adjacency(
                 n2e[cur[e2n_flat[k]]++] = e;
     }
 
-    // per-element patch: sorted unique nodes of {e} u nbr(e) (star == 1)
+    // per-element patch: sorted unique nodes of every element within
+    // `star` hops of e in the element-neighbour graph (BFS with a stamp
+    // array; star=0 -> just e, star=1 -> e + its neighbours, ...)
     std::vector<int64_t> patch_off(nel + 1, 0);
     std::vector<int64_t> patch_flat;
     {
         std::vector<int64_t> tmp;
-        // first pass to size, second to fill (keep it simple: one pass
-        // with a growing vector; patches are built element by element)
+        std::vector<int64_t> stamp(nel, -1);
+        std::vector<int64_t> frontier, next, members;
         patch_flat.reserve(e2n_off[nel] * (star ? 6 : 1));
         for (int64_t e = 0; e < nel; ++e) {
-            tmp.clear();
-            tmp.insert(tmp.end(), e2n_flat + e2n_off[e], e2n_flat + e2n_off[e + 1]);
-            if (star >= 1) {
-                for (int64_t k = nbr_off[e]; k < nbr_off[e + 1]; ++k) {
-                    int64_t ne = nbr_flat[k];
-                    tmp.insert(tmp.end(), e2n_flat + e2n_off[ne], e2n_flat + e2n_off[ne + 1]);
+            members.clear();
+            members.push_back(e);
+            stamp[e] = e;
+            frontier.assign(1, e);
+            for (int64_t depth = 0; depth < star; ++depth) {
+                next.clear();
+                for (int64_t f : frontier) {
+                    for (int64_t k = nbr_off[f]; k < nbr_off[f + 1]; ++k) {
+                        int64_t ne = nbr_flat[k];
+                        if (stamp[ne] != e) {
+                            stamp[ne] = e;
+                            members.push_back(ne);
+                            next.push_back(ne);
+                        }
+                    }
                 }
+                frontier.swap(next);
             }
+            tmp.clear();
+            for (int64_t m : members)
+                tmp.insert(tmp.end(), e2n_flat + e2n_off[m], e2n_flat + e2n_off[m + 1]);
             std::sort(tmp.begin(), tmp.end());
             tmp.erase(std::unique(tmp.begin(), tmp.end()), tmp.end());
             patch_flat.insert(patch_flat.end(), tmp.begin(), tmp.end());

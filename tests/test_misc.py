@@ -120,11 +120,11 @@ def test_native_adjacency_matches_scipy():
     gr = secondary_nodes(gr, spacing=300.0)
     constrain2layers(gr)
     gr, halo = discontinuous_boundaries(gr, 300.0)
-    for star in (0, 1):
+    for star in (0, 1, 2, 3):
         A_native = node_adjacency_native(gr.e2n, gr.neighbours, gr.nnods, star)
         if A_native is None:
             import pytest
 
             pytest.skip("native toolchain unavailable")
         A_scipy = _node_adjacency_scipy(gr, star)
-        assert (A_native != A_scipy).nnz == 0
+        assert (A_native != A_scipy).nnz == 0, f"star={star} mismatch"
