@@ -171,7 +171,8 @@ def write_report(mvm, conv, path="ACCURACY.md"):
         "",
         f"**Travel-time RMSE over the {len(mvm['degs'])}-receiver fan: "
         f"{mvm['rmse']:.2e} s (max |diff| {mvm['max']:.2e} s) — "
-        "five orders of magnitude inside the 0.1 s target.**",
+        + ("bit-exact, not merely inside the 0.1 s target.**" if mvm['rmse'] == 0.0
+           else "inside the 0.1 s target.**"),
         "",
         "The duplicated secondary nodes created by the reference's edge",
         "bookkeeping bug are geometrically coincident with their dedup",

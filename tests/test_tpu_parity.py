@@ -19,6 +19,9 @@ import sys
 
 import numpy as np
 
+# script-mode entry runs with sys.path[0] == tests/; make the package visible
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _tpu_available():
     import jax
