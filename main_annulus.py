@@ -37,13 +37,23 @@ def main():
     ap.add_argument("--method", default="auto", choices=["auto", "diag", "circulant", "pallas", "fused", "ell"])
     ap.add_argument("--out-prefix", default="annulus_run")
     ap.add_argument("--plot", action="store_true")
+    ap.add_argument("--cache-dir", default=None,
+                    help="disk cache for built grids and packed stencils "
+                         "(e.g. .cache, shared with bench.py)")
     args = ap.parse_args()
 
     timer = Timer()
     cfg = SolverConfig(dtype=args.dtype)
 
     with timer.section("init_annulus"):
-        gr, A, halo = rt.init_annulus(args.ntheta, args.nr, spacing=args.spacing)
+        if args.cache_dir:
+            from raytracer_tpu.utils.cache import init_annulus_cached
+
+            gr, A, halo = init_annulus_cached(args.ntheta, args.nr,
+                                              spacing=args.spacing,
+                                              cache_dir=args.cache_dir)
+        else:
+            gr, A, halo = rt.init_annulus(args.ntheta, args.nr, spacing=args.spacing)
     print(f"grid: {gr.nnods} nodes, {gr.nel} elements, {A.nnz} directed edges")
 
     source = rt.closest_point(gr, 0.0, R, system="polar")
@@ -54,7 +64,8 @@ def main():
         Vp = rt.interpolate_velocity(gr.r, interp)
 
     with timer.section("solver pack"):
-        solver = rt.AnnulusSolver(gr, A, halo, Vp, cfg, method=args.method)
+        solver = rt.AnnulusSolver(gr, A, halo, Vp, cfg, method=args.method,
+                                  cache_dir=args.cache_dir)
     print(f"solver method: {solver.method}")
 
     with timer.section("bfm solve (compile+run)"):
