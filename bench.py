@@ -149,19 +149,20 @@ def main():
             log(f"{probe_method} probe unavailable: {type(e).__name__}")
         return None
 
-    # probe the diag kernel twice (fresh processes see erratic remote
-    # compile latency and tunnel jitter; the second attempt usually hits
-    # the compile service's cache) and keep the best valid run
-    diag_ok = False
-    for attempt in range(2):
-        t_probe = run_probe("diag")
+    # probe the Pallas kernels in fresh subprocesses (erratic remote
+    # compile latency; a second attempt usually hits the compile
+    # service's cache), fastest first, keeping the best valid run
+    kernel_ok = False
+    for probe_method, good_enough in (("wrapped", 0.20), ("wrapped", 0.20),
+                                      ("diag", 0.25), ("diag", 0.25)):
+        t_probe = run_probe(probe_method)
         if t_probe is not None:
-            diag_ok = True
+            kernel_ok = True
             if t_probe < best:
-                best, method = t_probe, "diag"
-            if t_probe < 0.25:
+                best, method = t_probe, probe_method
+            if t_probe < good_enough:
                 break
-    if not diag_ok:
+    if not kernel_ok:
         t_probe = run_probe("pallas")  # backup kernel path
         if t_probe is not None and t_probe < best:
             best, method = t_probe, "pallas"

@@ -95,7 +95,23 @@ class DiagStencil:
     NTL: int
 
 
-def pack_diag_stencil(cg: CirculantGraph, dtype=np.float32) -> DiagStencil:
+class DiagDecomposition(NamedTuple):
+    """Raw (dm, dc)-diagonal decomposition of a circulant stencil, shared
+    by the 40-copy kernel below and the wrapped-lane kernel in
+    ops/diag_wrapped.py."""
+
+    dms: np.ndarray    # (D,) row offsets
+    dcs: np.ndarray    # (D,) theta-column offsets, |dc| <= _DC_RANGE
+    wmat: np.ndarray   # (D, Mp) per-diagonal weights, +inf where absent
+    pad: int           # multiple of 8, >= max |dm|
+    D: int
+    Mp: int
+    M: int
+    nt: int
+    NTL: int
+
+
+def decompose_diagonals(cg: CirculantGraph) -> DiagDecomposition:
     """Decompose the verified circulant stencil into (dm, dc) diagonals."""
     M, K = cg.src_flat.shape
     nt = cg.ntheta
@@ -133,6 +149,15 @@ def pack_diag_stencil(cg: CirculantGraph, dtype=np.float32) -> DiagStencil:
         np.add.at(counts, (inv, md_e), 1)
         if counts.max() > 1:
             raise ValueError("stencil has duplicate (m, dm, dc) entries")
+    return DiagDecomposition(dms=dms, dcs=dcs, wmat=wmat, pad=pad,
+                             D=D, Mp=Mp, M=M, nt=nt, NTL=NTL)
+
+
+def pack_diag_stencil(cg: CirculantGraph, dtype=np.float32) -> DiagStencil:
+    """Pack the diagonal decomposition for the 40-copy source-stack kernel."""
+    dec = decompose_diagonals(cg)
+    dms, dcs, wmat = dec.dms, dec.dcs, dec.wmat
+    pad, D, Mp, M, nt, NTL = dec.pad, dec.D, dec.Mp, dec.M, dec.nt, dec.NTL
 
     rho = np.mod(dms, SUB)
     rows_r = Mp + 2 * pad - SUB

@@ -1,0 +1,460 @@
+"""Wrapped-lane full-iteration Pallas kernel (round-2 PERF_NOTES idea 1).
+
+Third-generation TPU relaxation kernel for the circulant BFM, replacing
+the reference's CUDA relaxation (src/SSSP/bfm_gpu.jl:487-526).  Builds on
+the diagonal-band decomposition of ops/diag_circulant.py and moves the
+ENTIRE solver iteration - ring scan, chain scan, band sweep, duplicate
+merge, centre-fan exchange - inside one Pallas kernel, running T full
+iterations per kernel call.  The per-iteration XLA glue of the diag
+kernel (40-copy source-stack rebuild ~0.9 ms, scans ~0.5 ms, fan +
+dispatch) disappears; only the convergence check stays at the XLA level,
+once per T iterations.
+
+Structural devices (all measured on a v5e, see PERF_NOTES.md):
+
+1. WRAPPED THETA LANES.  dist is stored (Mp, NTL) with lane l holding
+   theta (l mod nt) - every lane is real data; lanes l >= nt duplicate
+   thetas 0..NTL-nt-1.  A theta shift by dc then becomes a STATIC
+   `pltpu.roll` over the lane axis inside the kernel: lane l reads lane
+   (l+dc) mod NTL = theta(l)+dc, correct everywhere except the |dc|
+   "defect" lanes whose read crosses the NTL wrap (NTL % nt != 0).
+   Defect reads are masked to +inf and recovered by a duplicate-merge
+   (two more static lane rolls by +-nt) after each sweep - every defect
+   lane's theta has a defect-free twin, so no candidate is lost and the
+   fixpoint is exact.
+
+2. PER-DIAGONAL SUBLANE ROLL.  The dm row shift splits as 8q + rho; the
+   kernel keeps the 5 dc pages in VMEM scratch (5 MB, not the 38 MB
+   40-copy stack) and applies the rho sub-shift per diagonal with a
+   STATIC `pltpu.roll` over sublanes - diagonals are grouped by rho, so
+   the shift is a compile-time constant inside each of 8 sub-loops.
+
+3. IN-KERNEL MIN-PLUS LINE SCANS.  The exact full-range ring (theta)
+   and chain (slot) relaxations run as hybrid scans: static doubling
+   steps (spans 1,2,4,..) up to the repeat span, then a `fori_loop` of
+   fixed-span steps (temps stay bounded; a fully unrolled log-scan would
+   hit Mosaic's statement-temp stacking).  Ring span costs are s*c
+   (rotationally uniform per slot); chain span costs are precomputed
+   window sums with +inf at the boundary rows, which makes wrap reads
+   self-masking.  On the wrapped lane cover, forward+backward line scans
+   together reach every ring offset (the cover is >= nt + max offset
+   long in at least one direction from every lane).
+
+Correctness invariant shared by every step: a candidate is only ever
+`existing-path cost + edge/segment weight`, and wrong-theta reads are
+masked to +inf, so iterates remain upper bounds that decrease to the
+unique SSSP fixpoint; termination is by tolerance (SolverConfig.tol).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import DEFAULT_SOLVER_CONFIG, SolverConfig
+from .circulant import CirculantGraph, _DC_RANGE
+from .diag_circulant import LANES, SUB, _round_up, decompose_diagonals
+
+RING_REPEAT = 16   # fori span of the ring scan (statics cover 1..15)
+CHAIN_REPEAT = 32  # fori span of the chain scan (statics cover 1..31)
+UNROLL = 4         # diagonals per band-sweep fori trip (trip overhead
+                   # ~1.3 us dominates the 404-trip loop otherwise)
+
+
+def _pow2_below(n: int):
+    out, s = [], 1
+    while s < n:
+        out.append(s)
+        s *= 2
+    return tuple(out)
+
+
+def _chain_spans(Mp: int):
+    """Chain-scan spans for a slot axis of Mp rows: doubling statics plus
+    a repeat span (the last element), all < Mp."""
+    spans = tuple(s for s in _pow2_below(CHAIN_REPEAT) + (CHAIN_REPEAT,)
+                  if s < Mp)
+    return spans if spans else (1,)
+
+
+def _window_costs(c1: np.ndarray, need) -> np.ndarray:
+    """(len(need), Mp) min-plus window sums of the per-hop chain cost c1,
+    built by doubling; +inf boundary entries make wrap reads self-masking.
+    `need` must be powers of two in increasing order."""
+    cur = c1.astype(np.float64).copy()
+    span = 1
+    out = []
+    while True:
+        if span in need:
+            out.append(cur.copy())
+        if span >= max(need):
+            break
+        shifted = np.full_like(cur, np.inf)
+        shifted[span:] = cur[:-span]
+        cur = cur + shifted
+        span *= 2
+    assert len(out) == len(need)
+    return np.stack(out)
+
+
+class WrappedStencil(NamedTuple):
+    """Rho-grouped diagonal stencil + scan tables for the full-iteration
+    wrapped-lane kernel.
+
+    offs       : (D,) int32 - 8-aligned flat row offset into the 5-page
+                 dc scratch: (dc+2) * rows5 + pad2 + dm - rho
+    wp         : (G, Mp, 128) lane-packed weights in GROUPED diagonal
+                 order (diagonal j's weights live in wp[j//128, :, j%128])
+    rho_starts : 9 static ints - group r covers [starts[r], starts[r+1])
+    ring_f/b   : (Mp, 1) per-slot ring hop cost (theta -/+ direction)
+    cfl/cbl    : (L, Mp, 1) chain window costs, spans 1,2,4,..,CHAIN_REPEAT
+    fan_w      : (Mp, 1) centre<->slot weights (+inf off the fan)
+    pad2       : row padding (pad + 8; Mp+8-row slices stay in-page)
+    """
+
+    offs: np.ndarray
+    wp: np.ndarray
+    rho_starts: Tuple[int, ...]
+    ring_f: np.ndarray
+    ring_b: np.ndarray
+    cfl: np.ndarray
+    cbl: np.ndarray
+    fan_w: np.ndarray
+    pad2: int
+    D: int
+    Mp: int
+    M: int
+    nt: int
+    NTL: int
+
+
+def supports_wrapped(cg: CirculantGraph) -> bool:
+    """The duplicate-merge needs a defect-free twin for every defect lane:
+    either no wrap defects at all (nt divides NTL) or at least _DC_RANGE
+    duplicated thetas."""
+    nt = cg.ntheta
+    NTL = _round_up(nt, LANES)
+    dup = NTL - nt
+    return nt >= SUB and (dup == 0 or dup >= _DC_RANGE)
+
+
+def pack_wrapped_stencil(cg: CirculantGraph, dtype=np.float32) -> WrappedStencil:
+    dec = decompose_diagonals(cg)
+    dms, dcs, wmat = dec.dms, dec.dcs, dec.wmat
+    D, Mp, nt, NTL = dec.D, dec.Mp, dec.nt, dec.NTL
+    pad2 = dec.pad + SUB
+    rows5 = Mp + 2 * pad2
+
+    rho = np.mod(dms, SUB)
+    raw_offs = ((dcs + _DC_RANGE) * rows5 + pad2 + dms - rho).astype(np.int32)
+
+    # group by rho, padding each group to a multiple of UNROLL with dummy
+    # diagonals (offset 0, +inf weight column -> exact no-ops)
+    offs_g, w_cols, starts = [], [], [0]
+    for r in range(SUB):
+        sel = np.flatnonzero(rho == r)
+        n_pad = _round_up(len(sel), UNROLL)
+        o = np.zeros(n_pad, dtype=np.int32)
+        o[: len(sel)] = raw_offs[sel]
+        offs_g.append(o)
+        w_cols.append(sel)
+        starts.append(starts[-1] + n_pad)
+    offs = np.concatenate(offs_g)
+    rho_starts = tuple(starts)
+    Dp = rho_starts[-1]
+    assert offs.min() >= 0 and np.all(offs % SUB == 0)
+    assert np.all(offs + Mp + SUB <= 5 * rows5)
+
+    G = _round_up(Dp, LANES) // LANES
+    wp = np.full((G, Mp, LANES), np.inf)
+    for r in range(SUB):
+        for k, src_idx in enumerate(w_cols[r]):
+            j = rho_starts[r] + k
+            wp[j // LANES, :, j % LANES] = wmat[src_idx]
+
+    def _diag_vec(dm0: int, dc0: int) -> np.ndarray:
+        hit = (dms == dm0) & (dcs == dc0)
+        out = np.full(Mp, np.inf)
+        if hit.any():
+            out[:] = wmat[int(np.flatnonzero(hit)[0])]
+        return out
+
+    chain_f = _diag_vec(-1, 0)
+    chain_f[0] = np.inf
+    chain_b = _diag_vec(+1, 0)
+    chain_b[-1] = np.inf
+    spans = _chain_spans(Mp)
+    cfl = _window_costs(chain_f, spans)[:, :, None]
+    cbl = _window_costs(chain_b[::-1], spans)[:, ::-1, None]
+
+    fan_w = np.full((Mp, 1), np.inf)
+    fan_w[cg.fan_slots, 0] = cg.fan_w
+
+    return WrappedStencil(
+        offs=offs, wp=wp.astype(dtype), rho_starts=rho_starts,
+        ring_f=_diag_vec(0, -1)[:, None].astype(dtype),
+        ring_b=_diag_vec(0, +1)[:, None].astype(dtype),
+        cfl=cfl.astype(dtype), cbl=cbl.astype(dtype),
+        fan_w=fan_w.astype(dtype),
+        pad2=pad2, D=Dp, Mp=Mp, M=dec.M, nt=nt, NTL=NTL,
+    )
+
+
+def _make_iter_kernel(rho_starts, Mp: int, NTL: int, pad2: int, nt: int,
+                      iters: int):
+    rows5 = Mp + 2 * pad2
+    dup = NTL - nt
+    ring_statics = _pow2_below(RING_REPEAT)
+    n_ring = -(-(NTL - RING_REPEAT) // RING_REPEAT)
+    chain_all = _chain_spans(Mp)
+    chain_statics, chain_rep = chain_all[:-1], chain_all[-1]
+    n_chain = max(0, -(-(Mp - chain_rep) // chain_rep))
+
+    def kernel(o_ref, dist_ref, cen_ref, wp_ref, rf_ref, rb_ref,
+               cfl_ref, cbl_ref, fan_ref, out_ref, cen_out_ref, q_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Mp, LANES), 1)
+        lane_full = jax.lax.broadcasted_iota(jnp.int32, (Mp, NTL), 1)
+        inf = jnp.asarray(jnp.inf, out_ref.dtype)
+        rf, rb, fan = rf_ref[:], rb_ref[:], fan_ref[:]
+
+        # static +inf row padding of the 5 dc pages, written once per call
+        padblk = jnp.full((pad2, NTL), inf, out_ref.dtype)
+        for u5 in range(5):
+            q_ref[pl.ds(u5 * rows5, pad2), :] = padblk
+            q_ref[pl.ds(u5 * rows5 + pad2 + Mp, pad2), :] = padblk
+
+        def ring_scan(v):
+            # forward: lane l improves from lane l-s (theta - s) at cost s*c
+            for s in ring_statics:
+                cand = pltpu.roll(v, s, axis=1) + (s * rf)
+                v = jnp.minimum(v, jnp.where(lane_full < s, inf, cand))
+            costF = RING_REPEAT * rf
+
+            def fwd(_, v):
+                cand = pltpu.roll(v, RING_REPEAT, axis=1) + costF
+                return jnp.minimum(v, jnp.where(lane_full < RING_REPEAT, inf, cand))
+
+            v = jax.lax.fori_loop(0, n_ring, fwd, v)
+            for s in ring_statics:
+                cand = pltpu.roll(v, NTL - s, axis=1) + (s * rb)
+                v = jnp.minimum(v, jnp.where(lane_full >= NTL - s, inf, cand))
+            costB = RING_REPEAT * rb
+
+            def bwd(_, v):
+                cand = pltpu.roll(v, NTL - RING_REPEAT, axis=1) + costB
+                return jnp.minimum(
+                    v, jnp.where(lane_full >= NTL - RING_REPEAT, inf, cand))
+
+            return jax.lax.fori_loop(0, n_ring, bwd, v)
+
+        def chain_scan(v):
+            # window costs carry +inf at boundary rows -> wrap reads are
+            # self-masking, no row masks needed
+            for k, s in enumerate(chain_statics):
+                v = jnp.minimum(v, pltpu.roll(v, s, axis=0) + cfl_ref[k])
+            L = len(chain_statics)
+
+            def fwd(_, v):
+                return jnp.minimum(
+                    v, pltpu.roll(v, chain_rep, axis=0) + cfl_ref[L])
+
+            v = jax.lax.fori_loop(0, n_chain, fwd, v)
+            for k, s in enumerate(chain_statics):
+                v = jnp.minimum(v, pltpu.roll(v, Mp - s, axis=0) + cbl_ref[k])
+
+            def bwd(_, v):
+                return jnp.minimum(
+                    v, pltpu.roll(v, Mp - chain_rep, axis=0) + cbl_ref[L])
+
+            return jax.lax.fori_loop(0, n_chain, bwd, v)
+
+        def band_sweep(cur):
+            # 5 theta-rolled dc pages; defect lanes (reads crossing the
+            # NTL wrap) masked to +inf
+            for u5, dc in enumerate(range(-_DC_RANGE, _DC_RANGE + 1)):
+                r = cur if dc == 0 else pltpu.roll(cur, (-dc) % NTL, axis=1)
+                if dup:
+                    if dc > 0:
+                        r = jnp.where(lane_full >= NTL - dc, inf, r)
+                    elif dc < 0:
+                        r = jnp.where(lane_full < -dc, inf, r)
+                q_ref[pl.ds(u5 * rows5 + pad2, Mp), :] = r
+
+            acc = cur
+            for rho in range(SUB):
+                lo, hi = rho_starts[rho], rho_starts[rho + 1]
+                if lo == hi:
+                    continue
+
+                def body(t, acc, rho=rho):
+                    # UNROLL diagonals per trip (group sizes are padded to
+                    # a multiple of UNROLL with +inf-weight no-ops)
+                    for i in range(UNROLL):
+                        j = t * UNROLL + i
+                        o = pl.multiple_of(o_ref[j], SUB)
+                        base = q_ref[pl.ds(o, Mp + SUB), :]
+                        src = (base if rho == 0
+                               else pltpu.roll(base, (-rho) % (Mp + SUB), axis=0))
+                        wg = wp_ref[j // LANES]
+                        wcol = jnp.min(
+                            jnp.where(lane == (j % LANES), wg, inf),
+                            axis=1, keepdims=True,
+                        )
+                        acc = jnp.minimum(acc, src[:Mp, :] + wcol)
+                    return acc
+
+                acc = jax.lax.fori_loop(lo // UNROLL, hi // UNROLL, body, acc)
+            return acc
+
+        def merge_dup(acc):
+            if not dup:
+                return acc
+            fwd = jnp.where(lane_full < dup,
+                            pltpu.roll(acc, (-nt) % NTL, axis=1), inf)
+            bwd = jnp.where(lane_full >= nt,
+                            pltpu.roll(acc, nt % NTL, axis=1), inf)
+            return jnp.minimum(acc, jnp.minimum(fwd, bwd))
+
+        def iteration(_, carry):
+            v, cen = carry
+            v = chain_scan(ring_scan(v))
+            v = merge_dup(band_sweep(v))
+            cen = jnp.minimum(cen, jnp.min(v + fan))
+            v = jnp.minimum(v, cen + fan)
+            return v, cen
+
+        cen0 = jnp.min(cen_ref[:])
+        v, cen = jax.lax.fori_loop(0, iters, iteration,
+                                   (dist_ref[:], cen0))
+        out_ref[:] = v
+        cen_out_ref[:] = jnp.broadcast_to(cen, (SUB, LANES))
+
+    return kernel
+
+
+def _iter_call(ws_static, dist: jax.Array, cen: jax.Array, offs: jax.Array,
+               wp: jax.Array, rf, rb, cfl, cbl, fan, iters: int,
+               interpret: bool):
+    rho_starts, Mp, NTL, pad2, nt = ws_static
+    rows5 = Mp + 2 * pad2
+    kernel = _make_iter_kernel(rho_starts, Mp, NTL, pad2, nt, iters)
+
+    def vspec(*shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, *_: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            vspec(Mp, NTL), vspec(SUB, LANES), vspec(*wp.shape),
+            vspec(Mp, 1), vspec(Mp, 1),
+            vspec(*cfl.shape), vspec(*cbl.shape), vspec(Mp, 1),
+        ],
+        out_specs=[vspec(Mp, NTL), vspec(SUB, LANES)],
+        scratch_shapes=[pltpu.VMEM((5 * rows5, NTL), dist.dtype)],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((Mp, NTL), dist.dtype),
+                   jax.ShapeDtypeStruct((SUB, LANES), dist.dtype)],
+        grid_spec=grid_spec,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(offs, dist, cen, wp, rf, rb, cfl, cbl, fan)
+
+
+class WrappedState(NamedTuple):
+    dist: jax.Array
+    dcen: jax.Array
+    changed: jax.Array
+    it: jax.Array
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rho_starts", "Mp", "NTL", "pad2", "nt",
+                     "max_iters", "sweeps", "interpret"),
+)
+def _solve_wrapped_jit(dist0, cen0, offs, wp, rf, rb, cfl, cbl, fan, tol,
+                       rho_starts, Mp: int, NTL: int, pad2: int, nt: int,
+                       max_iters: int, sweeps: int,
+                       interpret: bool) -> WrappedState:
+    ws_static = (rho_starts, Mp, NTL, pad2, nt)
+    state = WrappedState(dist0, cen0, jnp.asarray(True), jnp.zeros((), jnp.int32))
+
+    def cond(s: WrappedState):
+        return s.changed & (s.it < max_iters)
+
+    def body(s: WrappedState):
+        d, cen = _iter_call(ws_static, s.dist, s.dcen, offs, wp,
+                            rf, rb, cfl, cbl, fan, sweeps, interpret)
+        changed = jnp.any(d < s.dist - tol) | jnp.any(cen < s.dcen - tol)
+        return WrappedState(d, cen, changed, s.it + sweeps)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def solve_circulant_wrapped(
+    cg: CirculantGraph,
+    sources,
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    sweeps_per_call: int = 8,
+    interpret: bool = False,
+    _packed: WrappedStencil = None,
+) -> Tuple[np.ndarray, int]:
+    """Solve source(s) with the full-iteration wrapped-lane kernel.
+
+    Returns (dist (S, n), iterations); each iteration is one complete
+    scans+sweep+fan pass, `sweeps_per_call` of them per kernel dispatch.
+    Check `supports_wrapped(cg)` before calling; fall back to
+    solve_circulant_diag otherwise.
+    """
+    if not supports_wrapped(cg):
+        raise ValueError("wrapped-lane kernel unsupported for this ntheta; "
+                         "use solve_circulant_diag")
+    dtype = jnp.dtype(config.dtype)
+    ws = _packed if _packed is not None else pack_wrapped_stencil(cg, dtype=dtype)
+    sources = np.atleast_1d(np.asarray(sources, dtype=np.int64))
+    cmap = cg.cmap
+    nt, Mp, NTL = ws.nt, ws.Mp, ws.NTL
+
+    offs = jnp.asarray(ws.offs)
+    wp = jnp.asarray(ws.wp)
+    rf, rb = jnp.asarray(ws.ring_f), jnp.asarray(ws.ring_b)
+    cfl, cbl = jnp.asarray(ws.cfl), jnp.asarray(ws.cbl)
+    fan = jnp.asarray(ws.fan_w)
+
+    out = np.empty((len(sources), cg.n), dtype=dtype)
+    iters = 0
+    valid = cmap.m_of >= 0
+    for si, src in enumerate(sources):
+        dist0 = np.full((Mp, NTL), np.inf, dtype=dtype)
+        cen0 = np.full((SUB, LANES), np.inf, dtype=dtype)
+        if src == cmap.center:
+            cen0[:] = 0.0
+        else:
+            m, c = int(cmap.m_of[src]), int(cmap.c_of[src])
+            dist0[m, c::nt] = 0.0  # all duplicate lanes of theta c
+        st = _solve_wrapped_jit(
+            jnp.asarray(dist0), jnp.asarray(cen0), offs, wp,
+            rf, rb, cfl, cbl, fan,
+            jnp.asarray(config.tol_value(), dtype),
+            ws.rho_starts, Mp, NTL, ws.pad2, nt,
+            config.max_iters, sweeps_per_call, interpret,
+        )
+        dist2d = np.asarray(st.dist)
+        out[si, valid] = dist2d[cmap.m_of[valid], cmap.c_of[valid]]
+        if cmap.center >= 0:
+            out[si, cmap.center] = float(np.asarray(st.dcen)[0, 0])
+        iters = int(st.it)
+    return out, iters

@@ -30,8 +30,12 @@ class AnnulusSolver:
     """One-time graph packing + repeated SSSP solves.
 
     method:
-      'auto'      -> 'diag' on TPU (fastest); 'circulant' elsewhere (the
-                     diag kernel's interpret mode is for tests only)
+      'auto'      -> 'wrapped' on TPU (fastest; falls back to 'diag' for
+                     unsupported ntheta); 'circulant' elsewhere (the
+                     Pallas kernels' interpret mode is for tests only)
+      'wrapped'   -> full-iteration wrapped-lane Pallas kernel
+                     (ops/diag_wrapped.py): scans + band sweep + fan all
+                     in-kernel, multiple iterations per dispatch
       'diag'      -> diagonal-band Pallas kernel (ops/diag_circulant.py):
                      no gathers, sublane-shifted add+min per diagonal
       'pallas'    -> Pallas lane-gather kernel, per-sweep grid launch
@@ -67,12 +71,13 @@ class AnnulusSolver:
         if method == "auto":
             import jax
 
-            method = "diag" if jax.devices()[0].platform == "tpu" else "circulant"
+            method = "wrapped" if jax.devices()[0].platform == "tpu" else "circulant"
         self._requested = method
         self._diag_stencil = None
+        self._wrapped_stencil = None
 
         dtype = np.dtype(config.dtype)
-        if method in ("diag", "pallas", "circulant", "fused"):
+        if method in ("wrapped", "diag", "pallas", "circulant", "fused"):
             try:
                 if cache_dir is not None:
                     from ..utils.cache import build_circulant_cached
@@ -80,6 +85,11 @@ class AnnulusSolver:
                     self.circulant = build_circulant_cached(gr, A, halo, U, dtype, cache_dir)
                 else:
                     self.circulant = build_circulant(gr, A, halo, U, dtype=dtype)
+                if method == "wrapped":
+                    from ..ops.diag_wrapped import supports_wrapped
+
+                    if not supports_wrapped(self.circulant):
+                        method = "diag"
                 self._method = method
             except CirculantError as e:
                 import warnings
@@ -101,6 +111,18 @@ class AnnulusSolver:
             from ..ops.fused_circulant import solve_circulant_fused
 
             dist, iters = solve_circulant_fused(self.circulant, sources, self.config)
+            self.last_iterations = iters
+            return dist
+        if self._method == "wrapped":
+            from ..ops.diag_wrapped import pack_wrapped_stencil, solve_circulant_wrapped
+
+            if self._wrapped_stencil is None:
+                self._wrapped_stencil = pack_wrapped_stencil(
+                    self.circulant, dtype=np.dtype(self.config.dtype)
+                )
+            dist, iters = solve_circulant_wrapped(
+                self.circulant, sources, self.config, _packed=self._wrapped_stencil
+            )
             self.last_iterations = iters
             return dist
         if self._method == "diag":
