@@ -77,11 +77,14 @@ def main():
         solver.solve(source, want_prev=False)  # compile
         solver.solve(source, want_prev=False)  # warm
         times = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             solver.solve(source, want_prev=False)
             times.append(time.time() - t0)
-        t_bfm = float(np.median(times))
+        # min, not median, matching bench.py: the solve is one device
+        # dispatch + one host pull over the tunnel, whose latency jitter
+        # is strictly additive noise
+        t_bfm = float(np.min(times))
 
         ref = REF.get((ntheta, nr), (float("nan"),) * 3)
         row = {
@@ -110,7 +113,7 @@ def main():
             "# from its edge bookkeeping (86140 / 328510 / 464590); see ACCURACY.md.\n"
             "# ref_* columns: GPU_*_star1_NOreorder(_new).csv from /root/reference.\n"
             "# bfm_tpu_s: single-source steady-state solve, one TPU v5e chip, f32,\n"
-            "# median of 3 (includes the full-field device->host pull, ~28 ms floor).\n"
+            "# min of 5 (includes the full-field device->host pull, ~28 ms floor).\n"
             "# 720x200 row: IASP91 Vs (S-wave), BASELINE config #3; no reference\n"
             "# rows exist at this size.\n"
         )

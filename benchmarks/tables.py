@@ -1,0 +1,139 @@
+"""Multi-source travel-time table benchmarks (BASELINE configs #4, #5).
+
+Times the 64-source surface-source table on the 180x63 AK135 annulus
+(the reference has no multi-source mode at all - benchmarks/gpu.jl:61-63
+reruns single solves serially) and the multi-source 3-D solve, writing
+benchmarks/results_tables_tpu.csv.
+
+Usage: python benchmarks/tables.py [--skip-3d] [--out CSV]
+"""
+import argparse
+import csv
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_table_64(rows, root, cache_dir):
+    import raytracer_tpu as rt
+    from raytracer_tpu.config import R, SolverConfig
+    from raytracer_tpu.utils.cache import init_annulus_cached
+
+    gr, A, halo = init_annulus_cached(180, 63, spacing=20.0, cache_dir=cache_dir)
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = rt.interpolate_velocity(gr.r, interp)
+    cfg = SolverConfig(dtype="float32")
+    degs = np.linspace(0.0, 357.0, 64)
+    sources = [rt.closest_point(gr, np.deg2rad(d), R, system="polar") for d in degs]
+    rec_degs = np.arange(2.0, 150.0, 2.0)
+    receivers = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+                 for d in rec_degs]
+
+    for method, batch in (("wrapped", 8), ("pallas", 8)):
+        solver = rt.AnnulusSolver(gr, A, halo, U, cfg, method=method,
+                                  cache_dir=cache_dir)
+        if solver.method != method:
+            log(f"{method}: unavailable (fell back to {solver.method}); skipped")
+            continue
+        solver.travel_time_table(sources[:batch], receivers[:1], batch=batch)  # compile
+        t0 = time.time()
+        table = solver.travel_time_table(sources, receivers, batch=batch)
+        dt = time.time() - t0
+        assert table.shape == (64, len(receivers)) and np.isfinite(table).all()
+        log(f"{method} S={batch}: 64-source table {dt:.2f}s = {dt/64*1e3:.0f} ms/source")
+        rows.append({
+            "workload": "64-source travel-time table (BASELINE #4)",
+            "config": f"180x63 AK135, {len(receivers)} receivers, {method} S={batch} batches",
+            "ms_per_source": round(dt / 64 * 1e3),
+            "total_s": round(dt, 2),
+            "iters": solver.last_iterations,
+            "notes": "batched source blocks; includes all host pulls",
+        })
+
+
+def bench_3d(rows, root, cache_dir):
+    """BASELINE config #5: AK135 multi-source on a 1M-node spherical wedge."""
+    import raytracer_tpu as rt
+    from raytracer_tpu.config import R
+    from raytracer_tpu.models.grid3d import grid3d
+    from raytracer_tpu.solvers.solve3d import prepare3d, solve3d
+    from raytracer_tpu.utils.coords import spherical2cart
+    from raytracer_tpu.config import SolverConfig
+
+    nt, npn, nr = 128, 128, 64
+    c0 = (np.deg2rad(60.0), np.deg2rad(60.0), R - 2500.0)
+    c1 = (np.deg2rad(120.0), np.deg2rad(120.0), R)
+    g = grid3d(c0, c1, (nt, npn, nr))
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = interp(g.r)
+    cfg = SolverConfig(dtype="float32")
+    packed = prepare3d(g, U, cfg)
+    degs = [(70.0, 70.0), (90.0, 90.0), (110.0, 110.0), (80.0, 100.0)]
+    sources = [rt.closest_point3d(g, *spherical2cart(np.deg2rad(a), np.deg2rad(b), R))
+               for a, b in degs]
+    solve3d(g, U, sources[:1], cfg, _packed=packed)  # compile
+    t0 = time.time()
+    dist, iters = solve3d(g, U, sources, cfg, _packed=packed)
+    dt = time.time() - t0
+    assert np.isfinite(dist).all()
+    log(f"3-D {g.nnods_total} nodes, {len(sources)} sources: {dt:.2f}s "
+        f"({dt/len(sources)*1e3:.0f} ms/source, {iters} iters)")
+    rows.append({
+        "workload": "multi-source 3-D (BASELINE #5)",
+        "config": f"{nt}x{npn}x{nr} spherical wedge ({g.nnods_total:,} nodes), "
+                  "AK135 Vp, 4 sources, solve3d",
+        "ms_per_source": round(dt / len(sources) * 1e3),
+        "total_s": round(dt, 2),
+        "iters": iters,
+        "notes": "26-shift static-roll stencil + axis scans; no reference "
+                 "numbers exist (legacy CUDA 3-D was removed upstream)",
+    })
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__),
+                                                  "results_tables_tpu.csv"))
+    ap.add_argument("--skip-3d", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir", os.path.join(root, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    cache_dir = os.path.join(root, ".cache")
+
+    rows = []
+    bench_table_64(rows, root, cache_dir)
+    if not args.skip_3d:
+        try:
+            bench_3d(rows, root, cache_dir)
+        except Exception as e:  # noqa: BLE001
+            log(f"3-D bench skipped: {type(e).__name__}: {e}")
+
+    with open(args.out, "w", newline="") as f:
+        wr = csv.DictWriter(f, fieldnames=list(rows[0]))
+        wr.writeheader()
+        wr.writerows(rows)
+        f.write(
+            "# one TPU v5e chip, f32, steady-state (post-compile).\n"
+            "# sharded multi-chip tables: parallel/multisource.py shard_map over\n"
+            "# sources (validated on the virtual 8-device CPU mesh in\n"
+            "# tests/test_parallel.py and the driver dryrun).\n"
+        )
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -144,10 +144,65 @@ def supports_wrapped(cg: CirculantGraph) -> bool:
     return nt >= SUB and (dup == 0 or dup >= _DC_RANGE)
 
 
-def pack_wrapped_stencil(cg: CirculantGraph, dtype=np.float32) -> WrappedStencil:
+def _compose_vertical(dms, dcs, wmat, pad, levels: int):
+    """Append min-plus squares of the dc=0 sub-band (truncated to |dm| <=
+    pad) as extra diagonals.
+
+    Ray paths spend ~half their hops descending vertically with |dm| in
+    the 8..14 range (layer strides) and almost never repeat a hop type,
+    so the chain scan (dm=+-1 only) cannot compose them; each vertical
+    hop otherwise costs one full band sweep.  A composed diagonal
+    (dm1+dm2, 0) with weight w1[m] + w2[m+dm1] is a real 2-hop path cost,
+    so relaxing with it preserves the exact fixpoint while collapsing
+    vertical runs of up to 2^levels hops into one sweep.
+    """
+    Mp = wmat.shape[1]
+    vert = {}
+    for d in np.flatnonzero(dcs == 0):
+        vert[int(dms[d])] = wmat[d]
+    base_keys = set(zip(dms.tolist(), dcs.tolist()))
+    cur = dict(vert)
+    cur[0] = np.minimum(cur.get(0, np.inf), np.zeros(Mp))  # identity
+    add_dm, add_w = [], []
+    for _ in range(levels):
+        nxt = {}
+        for dm1, w1 in cur.items():
+            for dm2, w2 in cur.items():
+                dm = dm1 + dm2
+                if abs(dm) > pad:
+                    continue
+                w2s = np.full(Mp, np.inf)
+                if dm1 >= 0:
+                    w2s[: Mp - dm1] = w2[dm1:]
+                else:
+                    w2s[-dm1:] = w2[: Mp + dm1]
+                cand = w1 + w2s
+                nxt[dm] = np.minimum(nxt[dm], cand) if dm in nxt else cand
+        cur = nxt
+    for dm, w in cur.items():
+        if dm == 0 or not np.isfinite(w).any():
+            continue
+        if (dm, 0) in base_keys:
+            d = int(np.flatnonzero((dms == dm) & (dcs == 0))[0])
+            wmat[d] = np.minimum(wmat[d], w)
+        else:
+            add_dm.append(dm)
+            add_w.append(w)
+    if add_dm:
+        dms = np.concatenate([dms, np.asarray(add_dm, dms.dtype)])
+        dcs = np.concatenate([dcs, np.zeros(len(add_dm), dcs.dtype)])
+        wmat = np.concatenate([wmat, np.stack(add_w)])
+    return dms, dcs, wmat
+
+
+def pack_wrapped_stencil(cg: CirculantGraph, dtype=np.float32,
+                         vertical_closure: int = 0) -> WrappedStencil:
     dec = decompose_diagonals(cg)
-    dms, dcs, wmat = dec.dms, dec.dcs, dec.wmat
+    dms, dcs, wmat = dec.dms, dec.dcs, dec.wmat.copy()
     D, Mp, nt, NTL = dec.D, dec.Mp, dec.nt, dec.NTL
+    if vertical_closure:
+        dms, dcs, wmat = _compose_vertical(dms, dcs, wmat, dec.pad,
+                                           vertical_closure)
     pad2 = dec.pad + SUB
     rows5 = Mp + 2 * pad2
 
@@ -207,9 +262,14 @@ def pack_wrapped_stencil(cg: CirculantGraph, dtype=np.float32) -> WrappedStencil
 
 
 def _make_iter_kernel(rho_starts, Mp: int, NTL: int, pad2: int, nt: int,
-                      iters: int):
+                      iters: int, S: int = 1):
+    """S >= 2 batches S sources side by side as NTL-lane blocks; every
+    lane mask switches from the absolute lane id to lane % NTL, so rolls
+    that cross a block boundary are masked exactly like the wrap defects
+    (and recovered by the in-block duplicate-merge)."""
     rows5 = Mp + 2 * pad2
     dup = NTL - nt
+    NTLT = S * NTL
     ring_statics = _pow2_below(RING_REPEAT)
     n_ring = -(-(NTL - RING_REPEAT) // RING_REPEAT)
     chain_all = _chain_spans(Mp)
@@ -219,12 +279,12 @@ def _make_iter_kernel(rho_starts, Mp: int, NTL: int, pad2: int, nt: int,
     def kernel(o_ref, dist_ref, cen_ref, wp_ref, rf_ref, rb_ref,
                cfl_ref, cbl_ref, fan_ref, out_ref, cen_out_ref, q_ref):
         lane = jax.lax.broadcasted_iota(jnp.int32, (Mp, LANES), 1)
-        lane_full = jax.lax.broadcasted_iota(jnp.int32, (Mp, NTL), 1)
+        lane_full = jax.lax.broadcasted_iota(jnp.int32, (Mp, NTLT), 1) % NTL
         inf = jnp.asarray(jnp.inf, out_ref.dtype)
         rf, rb, fan = rf_ref[:], rb_ref[:], fan_ref[:]
 
         # static +inf row padding of the 5 dc pages, written once per call
-        padblk = jnp.full((pad2, NTL), inf, out_ref.dtype)
+        padblk = jnp.full((pad2, NTLT), inf, out_ref.dtype)
         for u5 in range(5):
             q_ref[pl.ds(u5 * rows5, pad2), :] = padblk
             q_ref[pl.ds(u5 * rows5 + pad2 + Mp, pad2), :] = padblk
@@ -242,12 +302,12 @@ def _make_iter_kernel(rho_starts, Mp: int, NTL: int, pad2: int, nt: int,
 
             v = jax.lax.fori_loop(0, n_ring, fwd, v)
             for s in ring_statics:
-                cand = pltpu.roll(v, NTL - s, axis=1) + (s * rb)
+                cand = pltpu.roll(v, NTLT - s, axis=1) + (s * rb)
                 v = jnp.minimum(v, jnp.where(lane_full >= NTL - s, inf, cand))
             costB = RING_REPEAT * rb
 
             def bwd(_, v):
-                cand = pltpu.roll(v, NTL - RING_REPEAT, axis=1) + costB
+                cand = pltpu.roll(v, NTLT - RING_REPEAT, axis=1) + costB
                 return jnp.minimum(
                     v, jnp.where(lane_full >= NTL - RING_REPEAT, inf, cand))
 
@@ -278,7 +338,7 @@ def _make_iter_kernel(rho_starts, Mp: int, NTL: int, pad2: int, nt: int,
             # 5 theta-rolled dc pages; defect lanes (reads crossing the
             # NTL wrap) masked to +inf
             for u5, dc in enumerate(range(-_DC_RANGE, _DC_RANGE + 1)):
-                r = cur if dc == 0 else pltpu.roll(cur, (-dc) % NTL, axis=1)
+                r = cur if dc == 0 else pltpu.roll(cur, (-dc) % NTLT, axis=1)
                 if dup:
                     if dc > 0:
                         r = jnp.where(lane_full >= NTL - dc, inf, r)
@@ -316,34 +376,45 @@ def _make_iter_kernel(rho_starts, Mp: int, NTL: int, pad2: int, nt: int,
             if not dup:
                 return acc
             fwd = jnp.where(lane_full < dup,
-                            pltpu.roll(acc, (-nt) % NTL, axis=1), inf)
+                            pltpu.roll(acc, (-nt) % NTLT, axis=1), inf)
             bwd = jnp.where(lane_full >= nt,
-                            pltpu.roll(acc, nt % NTL, axis=1), inf)
+                            pltpu.roll(acc, nt, axis=1), inf)
             return jnp.minimum(acc, jnp.minimum(fwd, bwd))
 
         def iteration(_, carry):
-            v, cen = carry
+            v, cens = carry
             v = chain_scan(ring_scan(v))
             v = merge_dup(band_sweep(v))
-            cen = jnp.minimum(cen, jnp.min(v + fan))
-            v = jnp.minimum(v, cen + fan)
-            return v, cen
+            if S == 1:
+                cen = jnp.minimum(cens[0], jnp.min(v + fan))
+                return jnp.minimum(v, cen + fan), (cen,)
+            # per-source-block centre fan (static NTL-lane slices)
+            blocks, new_cens = [], []
+            for b in range(S):
+                blk = v[:, b * NTL:(b + 1) * NTL]
+                cen = jnp.minimum(cens[b], jnp.min(blk + fan))
+                new_cens.append(cen)
+                blocks.append(jnp.minimum(blk, cen + fan))
+            return jnp.concatenate(blocks, axis=1), tuple(new_cens)
 
-        cen0 = jnp.min(cen_ref[:])
-        v, cen = jax.lax.fori_loop(0, iters, iteration,
-                                   (dist_ref[:], cen0))
+        cens0 = tuple(jnp.min(cen_ref[:, b * LANES:(b + 1) * LANES])
+                      for b in range(S))
+        v, cens = jax.lax.fori_loop(0, iters, iteration,
+                                    (dist_ref[:], cens0))
         out_ref[:] = v
-        cen_out_ref[:] = jnp.broadcast_to(cen, (SUB, LANES))
+        cen_out_ref[:] = jnp.concatenate(
+            [jnp.broadcast_to(c, (SUB, LANES)) for c in cens], axis=1)
 
     return kernel
 
 
 def _iter_call(ws_static, dist: jax.Array, cen: jax.Array, offs: jax.Array,
                wp: jax.Array, rf, rb, cfl, cbl, fan, iters: int,
-               interpret: bool):
+               interpret: bool, S: int = 1):
     rho_starts, Mp, NTL, pad2, nt = ws_static
     rows5 = Mp + 2 * pad2
-    kernel = _make_iter_kernel(rho_starts, Mp, NTL, pad2, nt, iters)
+    NTLT = S * NTL
+    kernel = _make_iter_kernel(rho_starts, Mp, NTL, pad2, nt, iters, S)
 
     def vspec(*shape):
         nd = len(shape)
@@ -354,17 +425,17 @@ def _iter_call(ws_static, dist: jax.Array, cen: jax.Array, offs: jax.Array,
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
-            vspec(Mp, NTL), vspec(SUB, LANES), vspec(*wp.shape),
+            vspec(Mp, NTLT), vspec(SUB, S * LANES), vspec(*wp.shape),
             vspec(Mp, 1), vspec(Mp, 1),
             vspec(*cfl.shape), vspec(*cbl.shape), vspec(Mp, 1),
         ],
-        out_specs=[vspec(Mp, NTL), vspec(SUB, LANES)],
-        scratch_shapes=[pltpu.VMEM((5 * rows5, NTL), dist.dtype)],
+        out_specs=[vspec(Mp, NTLT), vspec(SUB, S * LANES)],
+        scratch_shapes=[pltpu.VMEM((5 * rows5, NTLT), dist.dtype)],
     )
     return pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((Mp, NTL), dist.dtype),
-                   jax.ShapeDtypeStruct((SUB, LANES), dist.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((Mp, NTLT), dist.dtype),
+                   jax.ShapeDtypeStruct((SUB, S * LANES), dist.dtype)],
         grid_spec=grid_spec,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -383,12 +454,12 @@ class WrappedState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("rho_starts", "Mp", "NTL", "pad2", "nt",
-                     "max_iters", "sweeps", "interpret"),
+                     "max_iters", "sweeps", "interpret", "S"),
 )
 def _solve_wrapped_jit(dist0, cen0, offs, wp, rf, rb, cfl, cbl, fan, tol,
                        rho_starts, Mp: int, NTL: int, pad2: int, nt: int,
                        max_iters: int, sweeps: int,
-                       interpret: bool) -> WrappedState:
+                       interpret: bool, S: int = 1) -> WrappedState:
     ws_static = (rho_starts, Mp, NTL, pad2, nt)
     state = WrappedState(dist0, cen0, jnp.asarray(True), jnp.zeros((), jnp.int32))
 
@@ -397,7 +468,7 @@ def _solve_wrapped_jit(dist0, cen0, offs, wp, rf, rb, cfl, cbl, fan, tol,
 
     def body(s: WrappedState):
         d, cen = _iter_call(ws_static, s.dist, s.dcen, offs, wp,
-                            rf, rb, cfl, cbl, fan, sweeps, interpret)
+                            rf, rb, cfl, cbl, fan, sweeps, interpret, S)
         changed = jnp.any(d < s.dist - tol) | jnp.any(cen < s.dcen - tol)
         return WrappedState(d, cen, changed, s.it + sweeps)
 
@@ -408,53 +479,68 @@ def solve_circulant_wrapped(
     cg: CirculantGraph,
     sources,
     config: SolverConfig = DEFAULT_SOLVER_CONFIG,
-    sweeps_per_call: int = 8,
+    sweeps_per_call: int = 4,
     interpret: bool = False,
+    vertical_closure: int = 0,
+    batch: int = 1,
     _packed: WrappedStencil = None,
 ) -> Tuple[np.ndarray, int]:
     """Solve source(s) with the full-iteration wrapped-lane kernel.
 
-    Returns (dist (S, n), iterations); each iteration is one complete
-    scans+sweep+fan pass, `sweeps_per_call` of them per kernel dispatch.
-    Check `supports_wrapped(cg)` before calling; fall back to
-    solve_circulant_diag otherwise.
+    Returns (dist (n_sources, n), iterations); each iteration is one
+    complete scans+sweep+fan pass, `sweeps_per_call` of them per kernel
+    dispatch.  `batch` > 1 solves that many sources per kernel call,
+    side by side as NTL-lane blocks (the last chunk repeats its final
+    source to fill).  Check `supports_wrapped(cg)` before calling; fall
+    back to solve_circulant_diag otherwise.
     """
     if not supports_wrapped(cg):
         raise ValueError("wrapped-lane kernel unsupported for this ntheta; "
                          "use solve_circulant_diag")
     dtype = jnp.dtype(config.dtype)
-    ws = _packed if _packed is not None else pack_wrapped_stencil(cg, dtype=dtype)
+    ws = _packed if _packed is not None else pack_wrapped_stencil(
+        cg, dtype=dtype, vertical_closure=vertical_closure)
     sources = np.atleast_1d(np.asarray(sources, dtype=np.int64))
     cmap = cg.cmap
     nt, Mp, NTL = ws.nt, ws.Mp, ws.NTL
+    S = max(1, min(batch, len(sources)))
 
     offs = jnp.asarray(ws.offs)
     wp = jnp.asarray(ws.wp)
     rf, rb = jnp.asarray(ws.ring_f), jnp.asarray(ws.ring_b)
     cfl, cbl = jnp.asarray(ws.cfl), jnp.asarray(ws.cbl)
     fan = jnp.asarray(ws.fan_w)
+    tol = jnp.asarray(config.tol_value(), dtype)
 
     out = np.empty((len(sources), cg.n), dtype=dtype)
     iters = 0
     valid = cmap.m_of >= 0
-    for si, src in enumerate(sources):
-        dist0 = np.full((Mp, NTL), np.inf, dtype=dtype)
-        cen0 = np.full((SUB, LANES), np.inf, dtype=dtype)
-        if src == cmap.center:
-            cen0[:] = 0.0
-        else:
-            m, c = int(cmap.m_of[src]), int(cmap.c_of[src])
-            dist0[m, c::nt] = 0.0  # all duplicate lanes of theta c
+    for lo in range(0, len(sources), S):
+        chunk = sources[lo:lo + S]
+        n_real = len(chunk)
+        if n_real < S:  # repeat the last source to fill the block row
+            chunk = np.concatenate([chunk, np.full(S - n_real, chunk[-1])])
+        dist0 = np.full((Mp, S * NTL), np.inf, dtype=dtype)
+        cen0 = np.full((SUB, S * LANES), np.inf, dtype=dtype)
+        for b, src in enumerate(chunk):
+            if src == cmap.center:
+                cen0[:, b * LANES:(b + 1) * LANES] = 0.0
+            else:
+                m, c = int(cmap.m_of[src]), int(cmap.c_of[src])
+                # all duplicate lanes of theta c within block b
+                dist0[m, b * NTL + c:(b + 1) * NTL:nt] = 0.0
         st = _solve_wrapped_jit(
             jnp.asarray(dist0), jnp.asarray(cen0), offs, wp,
-            rf, rb, cfl, cbl, fan,
-            jnp.asarray(config.tol_value(), dtype),
+            rf, rb, cfl, cbl, fan, tol,
             ws.rho_starts, Mp, NTL, ws.pad2, nt,
-            config.max_iters, sweeps_per_call, interpret,
+            config.max_iters, sweeps_per_call, interpret, S,
         )
         dist2d = np.asarray(st.dist)
-        out[si, valid] = dist2d[cmap.m_of[valid], cmap.c_of[valid]]
-        if cmap.center >= 0:
-            out[si, cmap.center] = float(np.asarray(st.dcen)[0, 0])
+        cen2d = np.asarray(st.dcen)
+        for b in range(n_real):
+            blk = dist2d[:, b * NTL:(b + 1) * NTL]
+            out[lo + b, valid] = blk[cmap.m_of[valid], cmap.c_of[valid]]
+            if cmap.center >= 0:
+                out[lo + b, cmap.center] = float(cen2d[0, b * LANES])
         iters = int(st.it)
     return out, iters

@@ -121,7 +121,8 @@ class AnnulusSolver:
                     self.circulant, dtype=np.dtype(self.config.dtype)
                 )
             dist, iters = solve_circulant_wrapped(
-                self.circulant, sources, self.config, _packed=self._wrapped_stencil
+                self.circulant, sources, self.config,
+                batch=min(8, len(sources)), _packed=self._wrapped_stencil
             )
             self.last_iterations = iters
             return dist

@@ -58,6 +58,34 @@ def test_wrapped_exact_wrap_no_defects():
     np.testing.assert_allclose(d_w[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3)
 
 
+def test_wrapped_source_batching():
+    # batch=3 over 5 sources (uneven last chunk, repeat-fill) incl. centre
+    gr, cg = _setup(16, 4, 400.0)
+    degs = (0.0, 45.0, 120.0, 290.0)
+    srcs = [rt.closest_point(gr, np.deg2rad(d), R, system="polar") for d in degs]
+    srcs.append(cg.cmap.center)
+    d_b, _ = solve_circulant_wrapped(cg, srcs, F32, sweeps_per_call=2,
+                                     interpret=True, batch=3)
+    assert d_b.shape[0] == len(srcs)
+    for i, s in enumerate(srcs):
+        d_ref, _ = solve_circulant(cg, s, F32)
+        ok = np.isfinite(d_ref)
+        np.testing.assert_allclose(d_b[i][ok], d_ref[ok], rtol=1e-6, atol=5e-3)
+
+
+def test_wrapped_vertical_closure_exact():
+    gr, cg = _setup(16, 4, 400.0)
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    d_ref, _ = solve_circulant(cg, src, F32)
+    ok = np.isfinite(d_ref)
+    d_v, it_v = solve_circulant_wrapped(cg, [src], F32, sweeps_per_call=2,
+                                        interpret=True, vertical_closure=2)
+    d_0, it_0 = solve_circulant_wrapped(cg, [src], F32, sweeps_per_call=2,
+                                        interpret=True)
+    np.testing.assert_allclose(d_v[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3)
+    assert it_v <= it_0  # composed vertical diagonals only help
+
+
 def test_wrapped_center_source_and_batch():
     gr, cg = _setup(16, 4, 400.0)
     cen = cg.cmap.center
