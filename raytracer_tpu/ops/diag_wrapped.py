@@ -111,6 +111,9 @@ class WrappedStencil(NamedTuple):
                  dc scratch: (dc+2) * rows5 + pad2 + dm - rho
     wp         : (G, Mp, 128) lane-packed weights in GROUPED diagonal
                  order (diagonal j's weights live in wp[j//128, :, j%128])
+    wpT        : (Dp8, Mp128) row-major weights, row j = grouped diagonal
+                 j (sublane-indexable; the kernel's transpose weight mode
+                 reads row j + relayouts instead of select+lane-reduce)
     rho_starts : 9 static ints - group r covers [starts[r], starts[r+1])
     ring_f/b   : (Mp, 1) per-slot ring hop cost (theta -/+ direction)
     cfl/cbl    : (L, Mp, 1) chain window costs, spans 1,2,4,..,CHAIN_REPEAT
@@ -120,6 +123,7 @@ class WrappedStencil(NamedTuple):
 
     offs: np.ndarray
     wp: np.ndarray
+    wpT: np.ndarray
     rho_starts: Tuple[int, ...]
     ring_f: np.ndarray
     ring_b: np.ndarray
@@ -228,10 +232,12 @@ def pack_wrapped_stencil(cg: CirculantGraph, dtype=np.float32,
 
     G = _round_up(Dp, LANES) // LANES
     wp = np.full((G, Mp, LANES), np.inf)
+    wpT = np.full((_round_up(Dp, SUB), _round_up(Mp, LANES)), np.inf)
     for r in range(SUB):
         for k, src_idx in enumerate(w_cols[r]):
             j = rho_starts[r] + k
             wp[j // LANES, :, j % LANES] = wmat[src_idx]
+            wpT[j, :Mp] = wmat[src_idx]
 
     def _diag_vec(dm0: int, dc0: int) -> np.ndarray:
         hit = (dms == dm0) & (dcs == dc0)
@@ -252,7 +258,8 @@ def pack_wrapped_stencil(cg: CirculantGraph, dtype=np.float32,
     fan_w[cg.fan_slots, 0] = cg.fan_w
 
     return WrappedStencil(
-        offs=offs, wp=wp.astype(dtype), rho_starts=rho_starts,
+        offs=offs, wp=wp.astype(dtype), wpT=wpT.astype(dtype),
+        rho_starts=rho_starts,
         ring_f=_diag_vec(0, -1)[:, None].astype(dtype),
         ring_b=_diag_vec(0, +1)[:, None].astype(dtype),
         cfl=cfl.astype(dtype), cbl=cbl.astype(dtype),
@@ -262,11 +269,19 @@ def pack_wrapped_stencil(cg: CirculantGraph, dtype=np.float32,
 
 
 def _make_iter_kernel(rho_starts, Mp: int, NTL: int, pad2: int, nt: int,
-                      iters: int, S: int = 1):
+                      iters: int, S: int = 1,
+                      weight_mode: str = "reduce", pre_roll: bool = False):
     """S >= 2 batches S sources side by side as NTL-lane blocks; every
     lane mask switches from the absolute lane id to lane % NTL, so rolls
     that cross a block boundary are masked exactly like the wrap defects
-    (and recovered by the in-block duplicate-merge)."""
+    (and recovered by the in-block duplicate-merge).
+
+    weight_mode 'transpose' reads diagonal j's weight as a dynamic
+    sublane row of wpT + an in-kernel (1,Mp)->(Mp,1) relayout instead of
+    the (Mp,128) select + lane-reduce.  pre_roll builds all 8 rho-rolled
+    copies of the 5-page scratch once per iteration so the per-diagonal
+    sublane roll disappears (8x scratch; S=1/2 only by VMEM).
+    """
     rows5 = Mp + 2 * pad2
     dup = NTL - nt
     NTLT = S * NTL
@@ -275,8 +290,10 @@ def _make_iter_kernel(rho_starts, Mp: int, NTL: int, pad2: int, nt: int,
     chain_all = _chain_spans(Mp)
     chain_statics, chain_rep = chain_all[:-1], chain_all[-1]
     n_chain = max(0, -(-(Mp - chain_rep) // chain_rep))
+    live_rhos = tuple(r for r in range(SUB)
+                      if rho_starts[r] != rho_starts[r + 1])
 
-    def kernel(o_ref, dist_ref, cen_ref, wp_ref, rf_ref, rb_ref,
+    def kernel(o_ref, dist_ref, cen_ref, wp_ref, wpT_ref, rf_ref, rb_ref,
                cfl_ref, cbl_ref, fan_ref, out_ref, cen_out_ref, q_ref):
         lane = jax.lax.broadcasted_iota(jnp.int32, (Mp, LANES), 1)
         lane_full = jax.lax.broadcasted_iota(jnp.int32, (Mp, NTLT), 1) % NTL
@@ -286,8 +303,12 @@ def _make_iter_kernel(rho_starts, Mp: int, NTL: int, pad2: int, nt: int,
         # static +inf row padding of the 5 dc pages, written once per call
         padblk = jnp.full((pad2, NTLT), inf, out_ref.dtype)
         for u5 in range(5):
-            q_ref[pl.ds(u5 * rows5, pad2), :] = padblk
-            q_ref[pl.ds(u5 * rows5 + pad2 + Mp, pad2), :] = padblk
+            if pre_roll:
+                q_ref[0, pl.ds(u5 * rows5, pad2), :] = padblk
+                q_ref[0, pl.ds(u5 * rows5 + pad2 + Mp, pad2), :] = padblk
+            else:
+                q_ref[pl.ds(u5 * rows5, pad2), :] = padblk
+                q_ref[pl.ds(u5 * rows5 + pad2 + Mp, pad2), :] = padblk
 
         def ring_scan(v):
             # forward: lane l improves from lane l-s (theta - s) at cost s*c
@@ -344,7 +365,26 @@ def _make_iter_kernel(rho_starts, Mp: int, NTL: int, pad2: int, nt: int,
                         r = jnp.where(lane_full >= NTL - dc, inf, r)
                     elif dc < 0:
                         r = jnp.where(lane_full < -dc, inf, r)
-                q_ref[pl.ds(u5 * rows5 + pad2, Mp), :] = r
+                if pre_roll:
+                    q_ref[0, pl.ds(u5 * rows5 + pad2, Mp), :] = r
+                else:
+                    q_ref[pl.ds(u5 * rows5 + pad2, Mp), :] = r
+            if pre_roll:
+                # all rho sub-shifts applied once per iteration: copy rho
+                # [x] = page [x + rho]; slices at the grouped offsets then
+                # read q[o + m + rho] with no per-diagonal roll
+                for rho in live_rhos:
+                    if rho:
+                        q_ref[rho] = pltpu.roll(q_ref[0], (-rho) % (5 * rows5),
+                                                axis=0)
+
+            def weight_col(j):
+                if weight_mode == "transpose":
+                    wrow = wpT_ref[pl.ds(j, 1), :]
+                    return jnp.swapaxes(wrow, 0, 1)[:Mp, :]
+                wg = wp_ref[j // LANES]
+                return jnp.min(jnp.where(lane == (j % LANES), wg, inf),
+                               axis=1, keepdims=True)
 
             acc = cur
             for rho in range(SUB):
@@ -358,15 +398,14 @@ def _make_iter_kernel(rho_starts, Mp: int, NTL: int, pad2: int, nt: int,
                     for i in range(UNROLL):
                         j = t * UNROLL + i
                         o = pl.multiple_of(o_ref[j], SUB)
-                        base = q_ref[pl.ds(o, Mp + SUB), :]
-                        src = (base if rho == 0
-                               else pltpu.roll(base, (-rho) % (Mp + SUB), axis=0))
-                        wg = wp_ref[j // LANES]
-                        wcol = jnp.min(
-                            jnp.where(lane == (j % LANES), wg, inf),
-                            axis=1, keepdims=True,
-                        )
-                        acc = jnp.minimum(acc, src[:Mp, :] + wcol)
+                        if pre_roll:
+                            src = q_ref[rho, pl.ds(o, Mp), :]
+                        else:
+                            base = q_ref[pl.ds(o, Mp + SUB), :]
+                            src = (base if rho == 0
+                                   else pltpu.roll(base, (-rho) % (Mp + SUB),
+                                                   axis=0))[:Mp, :]
+                        acc = jnp.minimum(acc, src + weight_col(j))
                     return acc
 
                 acc = jax.lax.fori_loop(lo // UNROLL, hi // UNROLL, body, acc)
@@ -409,28 +448,32 @@ def _make_iter_kernel(rho_starts, Mp: int, NTL: int, pad2: int, nt: int,
 
 
 def _iter_call(ws_static, dist: jax.Array, cen: jax.Array, offs: jax.Array,
-               wp: jax.Array, rf, rb, cfl, cbl, fan, iters: int,
-               interpret: bool, S: int = 1):
+               wp: jax.Array, wpT: jax.Array, rf, rb, cfl, cbl, fan,
+               iters: int, interpret: bool, S: int = 1,
+               weight_mode: str = "reduce", pre_roll: bool = False):
     rho_starts, Mp, NTL, pad2, nt = ws_static
     rows5 = Mp + 2 * pad2
     NTLT = S * NTL
-    kernel = _make_iter_kernel(rho_starts, Mp, NTL, pad2, nt, iters, S)
+    kernel = _make_iter_kernel(rho_starts, Mp, NTL, pad2, nt, iters, S,
+                               weight_mode, pre_roll)
 
     def vspec(*shape):
         nd = len(shape)
         return pl.BlockSpec(shape, lambda i, *_: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
+    qshape = ((SUB, 5 * rows5, NTLT) if pre_roll else (5 * rows5, NTLT))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
             vspec(Mp, NTLT), vspec(SUB, S * LANES), vspec(*wp.shape),
+            vspec(*wpT.shape),
             vspec(Mp, 1), vspec(Mp, 1),
             vspec(*cfl.shape), vspec(*cbl.shape), vspec(Mp, 1),
         ],
         out_specs=[vspec(Mp, NTLT), vspec(SUB, S * LANES)],
-        scratch_shapes=[pltpu.VMEM((5 * rows5, NTLT), dist.dtype)],
+        scratch_shapes=[pltpu.VMEM(qshape, dist.dtype)],
     )
     return pl.pallas_call(
         kernel,
@@ -441,7 +484,7 @@ def _iter_call(ws_static, dist: jax.Array, cen: jax.Array, offs: jax.Array,
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(offs, dist, cen, wp, rf, rb, cfl, cbl, fan)
+    )(offs, dist, cen, wp, wpT, rf, rb, cfl, cbl, fan)
 
 
 class WrappedState(NamedTuple):
@@ -451,15 +494,55 @@ class WrappedState(NamedTuple):
     it: jax.Array
 
 
+def _node_extract_arrays(cmap, receivers=None):
+    """Index arrays mapping nodes (all, or a receiver subset) into the
+    wrapped (Mp, S*NTL) layout, for on-device extraction."""
+    if receivers is None:
+        sel = np.arange(len(cmap.m_of), dtype=np.int64)
+    else:
+        sel = np.asarray(receivers, dtype=np.int64).ravel()
+    m = cmap.m_of[sel]
+    c = cmap.c_of[sel]
+    valid = m >= 0
+    if cmap.center >= 0:
+        center_mask = sel == cmap.center
+    else:
+        center_mask = np.zeros(len(sel), dtype=bool)
+    m_idx = np.where(valid, m, 0).astype(np.int32)
+    c_idx = np.where(valid, c, 0).astype(np.int32)
+    return m_idx, c_idx, center_mask, valid
+
+
+@functools.partial(jax.jit, static_argnames=("S", "NTL"))
+def _extract_jit(dist2d, cen2d, m_idx, c_idx, center_mask, valid,
+                 S: int, NTL: int):
+    """(S, k) node-ordered values gathered on device from the wrapped
+    layout; the full-field device->host pull (tunnel-bound, ~220 ms for
+    the 8-source 180x63 block) shrinks to exactly the values needed."""
+    width = dist2d.shape[1]
+    flat = dist2d.reshape(-1)
+    base = m_idx * width + c_idx
+    inf = jnp.asarray(jnp.inf, dist2d.dtype)
+    rows = []
+    for b in range(S):
+        g = jnp.where(valid, flat[base + b * NTL], inf)
+        rows.append(jnp.where(center_mask, cen2d[0, b * LANES], g))
+    return jnp.stack(rows)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("rho_starts", "Mp", "NTL", "pad2", "nt",
-                     "max_iters", "sweeps", "interpret", "S"),
+                     "max_iters", "sweeps", "interpret", "S",
+                     "weight_mode", "pre_roll"),
 )
-def _solve_wrapped_jit(dist0, cen0, offs, wp, rf, rb, cfl, cbl, fan, tol,
+def _solve_wrapped_jit(dist0, cen0, offs, wp, wpT, rf, rb, cfl, cbl, fan,
+                       tol,
                        rho_starts, Mp: int, NTL: int, pad2: int, nt: int,
                        max_iters: int, sweeps: int,
-                       interpret: bool, S: int = 1) -> WrappedState:
+                       interpret: bool, S: int = 1,
+                       weight_mode: str = "reduce",
+                       pre_roll: bool = False) -> WrappedState:
     ws_static = (rho_starts, Mp, NTL, pad2, nt)
     state = WrappedState(dist0, cen0, jnp.asarray(True), jnp.zeros((), jnp.int32))
 
@@ -467,8 +550,9 @@ def _solve_wrapped_jit(dist0, cen0, offs, wp, rf, rb, cfl, cbl, fan, tol,
         return s.changed & (s.it < max_iters)
 
     def body(s: WrappedState):
-        d, cen = _iter_call(ws_static, s.dist, s.dcen, offs, wp,
-                            rf, rb, cfl, cbl, fan, sweeps, interpret, S)
+        d, cen = _iter_call(ws_static, s.dist, s.dcen, offs, wp, wpT,
+                            rf, rb, cfl, cbl, fan, sweeps, interpret, S,
+                            weight_mode, pre_roll)
         changed = jnp.any(d < s.dist - tol) | jnp.any(cen < s.dcen - tol)
         return WrappedState(d, cen, changed, s.it + sweeps)
 
@@ -483,6 +567,9 @@ def solve_circulant_wrapped(
     interpret: bool = False,
     vertical_closure: int = 0,
     batch: int = 1,
+    receivers=None,
+    weight_mode: str = "reduce",
+    pre_roll: bool = False,
     _packed: WrappedStencil = None,
 ) -> Tuple[np.ndarray, int]:
     """Solve source(s) with the full-iteration wrapped-lane kernel.
@@ -491,8 +578,11 @@ def solve_circulant_wrapped(
     complete scans+sweep+fan pass, `sweeps_per_call` of them per kernel
     dispatch.  `batch` > 1 solves that many sources per kernel call,
     side by side as NTL-lane blocks (the last chunk repeats its final
-    source to fill).  Check `supports_wrapped(cg)` before calling; fall
-    back to solve_circulant_diag otherwise.
+    source to fill).  With `receivers` (node ids), only those columns are
+    extracted - returns (n_sources, n_receivers) and pulls kilobytes
+    instead of the full field per chunk (the tunnel pull dominates the
+    table workload otherwise).  Check `supports_wrapped(cg)` before
+    calling; fall back to solve_circulant_diag otherwise.
     """
     if not supports_wrapped(cg):
         raise ValueError("wrapped-lane kernel unsupported for this ntheta; "
@@ -507,14 +597,17 @@ def solve_circulant_wrapped(
 
     offs = jnp.asarray(ws.offs)
     wp = jnp.asarray(ws.wp)
+    wpT = jnp.asarray(ws.wpT)
     rf, rb = jnp.asarray(ws.ring_f), jnp.asarray(ws.ring_b)
     cfl, cbl = jnp.asarray(ws.cfl), jnp.asarray(ws.cbl)
     fan = jnp.asarray(ws.fan_w)
     tol = jnp.asarray(config.tol_value(), dtype)
 
-    out = np.empty((len(sources), cg.n), dtype=dtype)
+    m_idx, c_idx, center_mask, valid = _node_extract_arrays(cmap, receivers)
+    jm, jc = jnp.asarray(m_idx), jnp.asarray(c_idx)
+    jcm, jv = jnp.asarray(center_mask), jnp.asarray(valid)
+    out = np.empty((len(sources), len(m_idx)), dtype=dtype)
     iters = 0
-    valid = cmap.m_of >= 0
     for lo in range(0, len(sources), S):
         chunk = sources[lo:lo + S]
         n_real = len(chunk)
@@ -530,17 +623,14 @@ def solve_circulant_wrapped(
                 # all duplicate lanes of theta c within block b
                 dist0[m, b * NTL + c:(b + 1) * NTL:nt] = 0.0
         st = _solve_wrapped_jit(
-            jnp.asarray(dist0), jnp.asarray(cen0), offs, wp,
+            jnp.asarray(dist0), jnp.asarray(cen0), offs, wp, wpT,
             rf, rb, cfl, cbl, fan, tol,
             ws.rho_starts, Mp, NTL, ws.pad2, nt,
             config.max_iters, sweeps_per_call, interpret, S,
+            weight_mode, pre_roll,
         )
-        dist2d = np.asarray(st.dist)
-        cen2d = np.asarray(st.dcen)
-        for b in range(n_real):
-            blk = dist2d[:, b * NTL:(b + 1) * NTL]
-            out[lo + b, valid] = blk[cmap.m_of[valid], cmap.c_of[valid]]
-            if cmap.center >= 0:
-                out[lo + b, cmap.center] = float(cen2d[0, b * LANES])
+        vals = np.asarray(_extract_jit(st.dist, st.dcen, jm, jc, jcm, jv,
+                                       S, NTL))
+        out[lo:lo + n_real] = vals[:n_real]
         iters = int(st.it)
     return out, iters

@@ -105,14 +105,11 @@ class AnnulusSolver:
     def method(self) -> str:
         return self._method
 
-    def _dist_batch(self, sources: Sequence[int]) -> np.ndarray:
-        """(S, n) distance fields for a batch of sources."""
-        if self._method == "fused":
-            from ..ops.fused_circulant import solve_circulant_fused
-
-            dist, iters = solve_circulant_fused(self.circulant, sources, self.config)
-            self.last_iterations = iters
-            return dist
+    def _dist_batch(self, sources: Sequence[int],
+                    receivers=None) -> np.ndarray:
+        """(S, n) distance fields for a batch of sources; with `receivers`,
+        (S, n_receivers) — extracted on device where the method supports it
+        (the full-field device->host pull dominates table workloads)."""
         if self._method == "wrapped":
             from ..ops.diag_wrapped import pack_wrapped_stencil, solve_circulant_wrapped
 
@@ -122,8 +119,19 @@ class AnnulusSolver:
                 )
             dist, iters = solve_circulant_wrapped(
                 self.circulant, sources, self.config,
-                batch=min(8, len(sources)), _packed=self._wrapped_stencil
+                batch=min(8, len(sources)), receivers=receivers,
+                _packed=self._wrapped_stencil
             )
+            self.last_iterations = iters
+            return dist
+        dist = self._dist_batch_full(sources)
+        return dist if receivers is None else dist[:, receivers]
+
+    def _dist_batch_full(self, sources: Sequence[int]) -> np.ndarray:
+        if self._method == "fused":
+            from ..ops.fused_circulant import solve_circulant_fused
+
+            dist, iters = solve_circulant_fused(self.circulant, sources, self.config)
             self.last_iterations = iters
             return dist
         if self._method == "diag":
@@ -169,11 +177,12 @@ class AnnulusSolver:
         """(n_sources, n_receivers) first-arrival table (no predecessors).
 
         Sources run in batches (batched along the Pallas kernel's row axis,
-        which amortises its flat per-gather cost nearly perfectly).
+        which amortises its flat per-gather cost nearly perfectly); only
+        the receiver columns cross the device->host boundary.
         """
         receivers = np.asarray(receivers)
         out = np.empty((len(sources), len(receivers)))
         for i in range(0, len(sources), batch):
             chunk = [int(s) for s in sources[i:i + batch]]
-            out[i:i + len(chunk)] = self._dist_batch(chunk)[:, receivers]
+            out[i:i + len(chunk)] = self._dist_batch(chunk, receivers=receivers)
         return out

@@ -73,6 +73,44 @@ def test_wrapped_source_batching():
         np.testing.assert_allclose(d_b[i][ok], d_ref[ok], rtol=1e-6, atol=5e-3)
 
 
+@pytest.mark.parametrize("weight_mode,pre_roll",
+                         [("transpose", False), ("reduce", True),
+                          ("transpose", True)])
+def test_wrapped_kernel_variants(weight_mode, pre_roll):
+    # the weight-relayout and pre-rolled-rho-page variants are exact
+    # reformulations; all must match the jnp circulant fixpoint
+    gr, cg = _setup(16, 4, 400.0)
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    d_ref, _ = solve_circulant(cg, src, F32)
+    ok = np.isfinite(d_ref)
+    d_w, _ = solve_circulant_wrapped(cg, [src], F32, sweeps_per_call=2,
+                                     interpret=True, weight_mode=weight_mode,
+                                     pre_roll=pre_roll)
+    np.testing.assert_allclose(d_w[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3)
+    # batched variant too
+    d_b, _ = solve_circulant_wrapped(cg, [src, src], F32, sweeps_per_call=2,
+                                     interpret=True, batch=2,
+                                     weight_mode=weight_mode, pre_roll=pre_roll)
+    np.testing.assert_allclose(d_b[1][ok], d_ref[ok], rtol=1e-6, atol=5e-3)
+
+
+def test_wrapped_receiver_extraction():
+    # device-side receiver gather == full-field extraction at those nodes,
+    # incl. the centre node as a receiver and an uneven batch
+    gr, cg = _setup(16, 4, 400.0)
+    degs = (0.0, 45.0, 120.0)
+    srcs = [rt.closest_point(gr, np.deg2rad(d), R, system="polar") for d in degs]
+    recs = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+            for d in (30.0, 90.0, 260.0)]
+    recs.append(cg.cmap.center)
+    d_full, _ = solve_circulant_wrapped(cg, srcs, F32, sweeps_per_call=2,
+                                        interpret=True, batch=2)
+    d_rec, _ = solve_circulant_wrapped(cg, srcs, F32, sweeps_per_call=2,
+                                       interpret=True, batch=2, receivers=recs)
+    assert d_rec.shape == (len(srcs), len(recs))
+    np.testing.assert_array_equal(d_rec, d_full[:, recs])
+
+
 def test_wrapped_vertical_closure_exact():
     gr, cg = _setup(16, 4, 400.0)
     src = rt.closest_point(gr, 0.0, R, system="polar")
