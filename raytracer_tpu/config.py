@@ -62,6 +62,13 @@ class SolverConfig:
     # 1e-3 for float32 and exact 0.0 for float64.  The exact solvers
     # (ELL, Dijkstra, jnp circulant without scans) ignore it.
     tol: float = None
+    # min-plus band-closure levels for the theta-major kernel: each level
+    # squares the truncated (|dm|, |dc|) stencil band at pack time so one
+    # sweep composes up to 2**levels original hops (exact; see
+    # ops/wrapped_t.py::_compose_band).  Denser weights are free per sweep
+    # in that kernel; one level costs ~0.3 s of host pack time at 180x63
+    # and cuts iterations ~30% (108 -> 76).
+    band_closure: int = 1
 
     def tol_value(self) -> float:
         if self.tol is not None:

@@ -359,12 +359,22 @@ def _make_iter_kernel(rho_starts, Mp: int, NTL: int, pad2: int, nt: int,
             # 5 theta-rolled dc pages; defect lanes (reads crossing the
             # NTL wrap) masked to +inf
             for u5, dc in enumerate(range(-_DC_RANGE, _DC_RANGE + 1)):
-                r = cur if dc == 0 else pltpu.roll(cur, (-dc) % NTLT, axis=1)
-                if dup:
-                    if dc > 0:
-                        r = jnp.where(lane_full >= NTL - dc, inf, r)
-                    elif dc < 0:
-                        r = jnp.where(lane_full < -dc, inf, r)
+                if dc == 0:
+                    r = cur
+                elif dup == 0 and S > 1:
+                    # exact wrap must stay in-block: a full-array roll would
+                    # read across the block boundary into the next source
+                    r = jnp.concatenate(
+                        [pltpu.roll(cur[:, b * NTL:(b + 1) * NTL],
+                                    (-dc) % NTL, axis=1) for b in range(S)],
+                        axis=1)
+                else:
+                    r = pltpu.roll(cur, (-dc) % NTLT, axis=1)
+                    if dup:
+                        if dc > 0:
+                            r = jnp.where(lane_full >= NTL - dc, inf, r)
+                        elif dc < 0:
+                            r = jnp.where(lane_full < -dc, inf, r)
                 if pre_roll:
                     q_ref[0, pl.ds(u5 * rows5 + pad2, Mp), :] = r
                 else:

@@ -30,10 +30,14 @@ class AnnulusSolver:
     """One-time graph packing + repeated SSSP solves.
 
     method:
-      'auto'      -> 'wrapped' on TPU (fastest; falls back to 'diag' for
-                     unsupported ntheta); 'circulant' elsewhere (the
-                     Pallas kernels' interpret mode is for tests only)
-      'wrapped'   -> full-iteration wrapped-lane Pallas kernel
+      'auto'      -> 'twrapped' on TPU (fastest; falls back to 'wrapped'
+                     then 'diag' for unsupported ntheta); 'circulant'
+                     elsewhere (the Pallas kernels' interpret mode is for
+                     tests only)
+      'twrapped'  -> theta-major full-iteration Pallas kernel
+                     (ops/wrapped_t.py): moving-frame band sweep with
+                     min-plus band closure, scans + fan in-kernel
+      'wrapped'   -> slot-major full-iteration wrapped-lane Pallas kernel
                      (ops/diag_wrapped.py): scans + band sweep + fan all
                      in-kernel, multiple iterations per dispatch
       'diag'      -> diagonal-band Pallas kernel (ops/diag_circulant.py):
@@ -71,13 +75,14 @@ class AnnulusSolver:
         if method == "auto":
             import jax
 
-            method = "wrapped" if jax.devices()[0].platform == "tpu" else "circulant"
+            method = "twrapped" if jax.devices()[0].platform == "tpu" else "circulant"
         self._requested = method
         self._diag_stencil = None
         self._wrapped_stencil = None
+        self._twrapped_stencil = None
 
         dtype = np.dtype(config.dtype)
-        if method in ("wrapped", "diag", "pallas", "circulant", "fused"):
+        if method in ("twrapped", "wrapped", "diag", "pallas", "circulant", "fused"):
             try:
                 if cache_dir is not None:
                     from ..utils.cache import build_circulant_cached
@@ -85,6 +90,11 @@ class AnnulusSolver:
                     self.circulant = build_circulant_cached(gr, A, halo, U, dtype, cache_dir)
                 else:
                     self.circulant = build_circulant(gr, A, halo, U, dtype=dtype)
+                if method == "twrapped":
+                    from ..ops.wrapped_t import supports_twrapped
+
+                    if not supports_twrapped(self.circulant):
+                        method = "wrapped"
                 if method == "wrapped":
                     from ..ops.diag_wrapped import supports_wrapped
 
@@ -110,6 +120,21 @@ class AnnulusSolver:
         """(S, n) distance fields for a batch of sources; with `receivers`,
         (S, n_receivers) — extracted on device where the method supports it
         (the full-field device->host pull dominates table workloads)."""
+        if self._method == "twrapped":
+            from ..ops.wrapped_t import pack_twrapped_stencil, solve_circulant_twrapped
+
+            if self._twrapped_stencil is None:
+                self._twrapped_stencil = pack_twrapped_stencil(
+                    self.circulant, dtype=np.dtype(self.config.dtype),
+                    band_closure=self.config.band_closure,
+                )
+            dist, iters = solve_circulant_twrapped(
+                self.circulant, sources, self.config,
+                batch=min(8, len(sources)), receivers=receivers,
+                _packed=self._twrapped_stencil
+            )
+            self.last_iterations = iters
+            return dist
         if self._method == "wrapped":
             from ..ops.diag_wrapped import pack_wrapped_stencil, solve_circulant_wrapped
 

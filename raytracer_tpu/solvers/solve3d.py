@@ -164,15 +164,24 @@ def prepare3d(gr: Grid3D, U: np.ndarray, config: SolverConfig = DEFAULT_SOLVER_C
     return Packed3D(W=jnp.asarray(W), scan_costs=scan_costs, shape=(n2, n1, n0))
 
 
+@jax.jit
+def _gather3d(dist, idx):
+    return dist.reshape(-1)[idx]
+
+
 def solve3d(
     gr: Grid3D,
     U: np.ndarray,
     sources: Sequence[int],
     config: SolverConfig = DEFAULT_SOLVER_CONFIG,
     scan_every: int = 1,
+    receivers=None,
     _packed: Packed3D = None,
 ) -> Tuple[np.ndarray, int]:
-    """(S, nnods) distance fields on the structured 3-D grid.
+    """(S, nnods) distance fields on the structured 3-D grid; with
+    `receivers` (node ids), (S, n_receivers) gathered on device — the
+    full-field device->host pull (~4 MB/source at 1M nodes) never
+    happens for table workloads.
 
     The star-0 stencil solve; star-1 graphs (element-neighbour expansion)
     fall back to the generic ELL solver (bfm.bfm3d).
@@ -182,14 +191,20 @@ def solve3d(
     dtype = np.dtype(config.dtype)
     sources = np.atleast_1d(np.asarray(sources, dtype=np.int64))
     tol = jnp.asarray(config.tol_value(), dtype)
+    ridx = (None if receivers is None
+            else jnp.asarray(np.asarray(receivers, dtype=np.int32).ravel()))
 
-    out = np.empty((len(sources), gr.nnods_total), dtype=dtype)
+    ncol = gr.nnods_total if receivers is None else len(ridx)
+    out = np.empty((len(sources), ncol), dtype=dtype)
     iters = 0
     for si, src in enumerate(sources):
         dist0 = np.full(shp, np.inf, dtype=dtype)
         dist0.ravel()[src] = 0.0  # flat id layout: theta fastest (grid3d.py:27)
         st = _solve3d_jit(jnp.asarray(dist0), packed.W, packed.scan_costs, tol,
                           config.max_iters, scan_every)
-        out[si] = np.asarray(st.dist).ravel()
+        if ridx is None:
+            out[si] = np.asarray(st.dist).ravel()
+        else:
+            out[si] = np.asarray(_gather3d(st.dist, ridx))
         iters = int(st.it)
     return out, iters

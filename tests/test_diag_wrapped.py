@@ -58,6 +58,20 @@ def test_wrapped_exact_wrap_no_defects():
     np.testing.assert_allclose(d_w[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3)
 
 
+def test_wrapped_source_batching_exact_wrap():
+    # ntheta=128 -> dup == 0: cross-block page rolls must wrap in-block
+    # (regression: the full-array roll read the neighbouring source block)
+    gr, cg = _setup(128, 4, 400.0)
+    degs = (0.0, 100.0, 250.0)
+    srcs = [rt.closest_point(gr, np.deg2rad(d), R, system="polar") for d in degs]
+    d_b, _ = solve_circulant_wrapped(cg, srcs, F32, sweeps_per_call=2,
+                                     interpret=True, batch=3)
+    for i, s in enumerate(srcs):
+        d_ref, _ = solve_circulant(cg, s, F32)
+        ok = np.isfinite(d_ref)
+        np.testing.assert_allclose(d_b[i][ok], d_ref[ok], rtol=1e-6, atol=5e-3)
+
+
 def test_wrapped_source_batching():
     # batch=3 over 5 sources (uneven last chunk, repeat-fill) incl. centre
     gr, cg = _setup(16, 4, 400.0)

@@ -136,3 +136,7 @@ def test_solve3d_multi_source_and_scan_every():
     for i, s in enumerate(sources):
         D_ref = bfm3d(A, s, g, U, F64)
         np.testing.assert_allclose(dist[i], D_ref.dist, rtol=1e-9, atol=1e-6)
+    # device-side receiver gather == full-field values at those nodes
+    recs = [1, len(g) // 3, len(g) - 1]
+    tab, _ = solve3d(g, U, sources, F64, receivers=recs, _packed=packed)
+    np.testing.assert_array_equal(tab, dist[:, recs])

@@ -53,12 +53,17 @@ def run_on_chip():
     from raytracer_tpu.ops.pallas_circulant import solve_circulant_pallas
 
     from raytracer_tpu.ops.diag_wrapped import solve_circulant_wrapped
+    from raytracer_tpu.ops.wrapped_t import solve_circulant_twrapped
 
     rt_, gr, cg = _setup()
     F32 = SolverConfig(dtype="float32")
     src = rt.closest_point(gr, 0.0, R, system="polar")
     d_ref, _ = solve_circulant(cg, src, F32)
     ok = np.isfinite(d_ref)
+
+    d_tw, it_t = solve_circulant_twrapped(cg, [src], F32, band_closure=1)
+    np.testing.assert_allclose(d_tw[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3,
+                               err_msg="theta-major kernel vs jnp circulant on TPU")
 
     d_wr, it_w = solve_circulant_wrapped(cg, [src], F32)
     np.testing.assert_allclose(d_wr[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3,
@@ -71,8 +76,8 @@ def run_on_chip():
     d_pal, it_p = solve_circulant_pallas(cg, [src], F32)
     np.testing.assert_allclose(d_pal[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3,
                                err_msg="lane-gather kernel vs jnp circulant on TPU")
-    print(f"TPU parity OK: wrapped iters={it_w}, diag iters={it_d}, "
-          f"pallas iters={it_p}, n={ok.sum()} nodes compared")
+    print(f"TPU parity OK: twrapped iters={it_t}, wrapped iters={it_w}, "
+          f"diag iters={it_d}, pallas iters={it_p}, n={ok.sum()} nodes compared")
 
 
 def test_tpu_kernel_parity():
