@@ -12,9 +12,11 @@ travel-time equivalence proof); this bench builds the intended
 deduplicated graph of the same physical task.
 
 Solver paths measured, fastest wins:
-  * diagonal-band Pallas kernel (ops/diag_circulant.py) - the headline
-    path; probed in a subprocess with a timeout because the remote TPU
-    compile service latency is erratic (30s-7min for the same program)
+  * theta-major full-iteration Pallas kernel (ops/wrapped_t.py) - the
+    headline path (~52 ms/solve incl. host round trip); probed in a
+    subprocess with a timeout because the remote TPU compile service
+    latency is erratic (30s-7min for the same program)
+  * slot-major wrapped / diagonal-band kernels - fallback probes
   * jnp circulant (row gathers) - reliable-compile inline fallback
 
 Prints ONE JSON line with vs_baseline = 2.31 s (reference CPU 4 threads)
@@ -153,8 +155,8 @@ def main():
     # compile latency; a second attempt usually hits the compile
     # service's cache), fastest first, keeping the best valid run
     kernel_ok = False
-    for probe_method, good_enough in (("wrapped", 0.20), ("wrapped", 0.20),
-                                      ("diag", 0.25), ("diag", 0.25)):
+    for probe_method, good_enough in (("twrapped", 0.08), ("twrapped", 0.08),
+                                      ("wrapped", 0.20), ("diag", 0.25)):
         t_probe = run_probe(probe_method)
         if t_probe is not None:
             kernel_ok = True

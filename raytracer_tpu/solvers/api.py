@@ -203,9 +203,16 @@ class AnnulusSolver:
 
         Sources run in batches (batched along the Pallas kernel's row axis,
         which amortises its flat per-gather cost nearly perfectly); only
-        the receiver columns cross the device->host boundary.
+        the receiver columns cross the device->host boundary.  The
+        twrapped path is handed the WHOLE source list at once - it
+        chunk-splits internally, dispatches every chunk asynchronously
+        and syncs a single time (one ~28 ms tunnel round trip per table,
+        not per chunk).
         """
         receivers = np.asarray(receivers)
+        if self._method == "twrapped":
+            return self._dist_batch([int(s) for s in sources],
+                                    receivers=receivers)
         out = np.empty((len(sources), len(receivers)))
         for i in range(0, len(sources), batch):
             chunk = [int(s) for s in sources[i:i + batch]]

@@ -196,15 +196,23 @@ def solve3d(
 
     ncol = gr.nnods_total if receivers is None else len(ridx)
     out = np.empty((len(sources), ncol), dtype=dtype)
-    iters = 0
-    for si, src in enumerate(sources):
+    # dispatch every source's solve asynchronously, sync once per source
+    # only when materialising results (the tunnel round-trip latency
+    # overlaps the next source's device work)
+    pending = []
+    for src in sources:
         dist0 = np.full(shp, np.inf, dtype=dtype)
         dist0.ravel()[src] = 0.0  # flat id layout: theta fastest (grid3d.py:27)
         st = _solve3d_jit(jnp.asarray(dist0), packed.W, packed.scan_costs, tol,
                           config.max_iters, scan_every)
+        pending.append(st if ridx is None else (st, _gather3d(st.dist, ridx)))
+    iters = 0
+    for si, p in enumerate(pending):
         if ridx is None:
+            st = p
             out[si] = np.asarray(st.dist).ravel()
         else:
-            out[si] = np.asarray(_gather3d(st.dist, ridx))
+            st, vals = p
+            out[si] = np.asarray(vals)
         iters = int(st.it)
     return out, iters
