@@ -123,7 +123,8 @@ def mesh_vs_mesh(ntheta=180, nr=50, spacing=50.0):
     }
 
 
-def convergence(configs=((20.0, 1), (15.0, 1), (10.0, 1), (20.0, 2))):
+def convergence(configs=((20.0, 1), (15.0, 1), (10.0, 1), (5.0, 1),
+                         (20.0, 2), (10.0, 2))):
     """RMSE vs AK135 ray theory on the 180x63 annulus as the mesh refines."""
     import raytracer_tpu as rt
     from raytracer_tpu.config import R

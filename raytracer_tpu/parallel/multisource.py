@@ -81,6 +81,71 @@ def travel_time_table(
     return np.asarray(table)[: len(sources)]
 
 
+def travel_time_table_twrapped(
+    cg,
+    sources: Sequence[int],
+    receivers: Sequence[int],
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    mesh: Optional[Mesh] = None,
+    interpret: bool = False,
+    _packed=None,
+) -> np.ndarray:
+    """Sharded travel-time table running the production theta-major
+    Pallas kernel (ops/wrapped_t.py) inside each shard.
+
+    Sources shard over the 1-D mesh; every chip runs its local source
+    block through the full-iteration kernel (initial state built on
+    device from the source descriptors, receivers extracted in-shard) -
+    zero collectives anywhere.  `interpret=True` runs the kernel's
+    interpret mode for virtual CPU-mesh validation.
+    """
+    from ..ops.wrapped_t import (_extract_arrays, _solve_twrapped_jit,
+                                 _textract_jit, pack_twrapped_stencil,
+                                 supports_twrapped)
+
+    if not supports_twrapped(cg):
+        raise ValueError("theta-major kernel unsupported for this ntheta")
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    dtype = jnp.dtype(config.dtype)
+    ws = _packed if _packed is not None else pack_twrapped_stencil(
+        cg, dtype=dtype, band_closure=config.band_closure)
+    cmap = cg.cmap
+
+    sources = np.asarray(sources)
+    padded = pad_sources(sources, n_dev)
+    S_local = len(padded) // n_dev
+    is_cen = padded == cmap.center
+    src_m = np.where(is_cen, 0, cmap.m_of[padded]).astype(np.int32)
+    src_c = np.where(is_cen, 0, cmap.c_of[padded]).astype(np.int32)
+
+    m_idx, c_idx, center_mask, valid = _extract_arrays(cmap, receivers)
+    jm, jc = jnp.asarray(m_idx), jnp.asarray(c_idx)
+    jcm, jv = jnp.asarray(center_mask), jnp.asarray(valid)
+    wrows, rf, rb = map(jnp.asarray, (ws.wrows, ws.ring_f, ws.ring_b))
+    cfl, cbl, fan = map(jnp.asarray, (ws.cfl, ws.cbl, ws.fan_w))
+    tol = jnp.asarray(config.tol_value(), dtype)
+
+    def solve_block(sm, sc, scen):
+        st = _solve_twrapped_jit(
+            sm, sc, scen, wrows, rf, rb, cfl, cbl, fan, tol,
+            ws.Mp, ws.ML, ws.NTT, ws.nt, ws.maxdm,
+            config.max_iters, 4, interpret, S_local)
+        return _textract_jit(st.dist, st.dcen, st.it, jm, jc, jcm, jv,
+                             S_local, ws.NTT)
+
+    fn = jax.jit(jax.shard_map(
+        solve_block,
+        mesh=mesh,
+        in_specs=(P(SOURCE_AXIS),) * 3,
+        out_specs=P(SOURCE_AXIS),
+        check_vma=False,
+    ))
+    vals = np.asarray(fn(jnp.asarray(src_m), jnp.asarray(src_c),
+                         jnp.asarray(is_cen)))
+    return vals[: len(sources), :-1]
+
+
 def travel_time_table_circulant(
     cg,
     sources: Sequence[int],

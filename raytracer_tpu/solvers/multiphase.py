@@ -131,13 +131,11 @@ def bfm_ms(
             # accumulated travel times (the reference never zeroes the new
             # source, src/SSSP/bfm_new_ms.jl:96-110 - only the frontier is
             # re-seeded around it)
-            keep = bnodes[first_boundary]
-            dist_np = np.asarray(dist)
-            src = int(keep[np.argmin(dist_np[keep])])
-            reset = np.ones(n_pad, dtype=bool)
-            reset[keep] = False
-            dist = jnp.where(jnp.asarray(reset), jnp.asarray(np.inf, dtype), dist)
-            st0 = init_state(g, jnp.asarray(src, jnp.int32), dtype)
+            keep = jnp.asarray(bnodes[first_boundary])
+            src = keep[jnp.argmin(dist[keep])].astype(jnp.int32)
+            reset = jnp.ones(n_pad, dtype=bool).at[keep].set(False)
+            dist = jnp.where(reset, jnp.asarray(np.inf, dtype), dist)
+            st0 = init_state(g, src, dtype)
             front = st0.front
         else:
             front = st.front

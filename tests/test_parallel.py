@@ -62,3 +62,27 @@ def test_sharded_circulant_table(tiny_annulus, tiny_velocity):
     g = rt.prepare(A, halo, gr, tiny_velocity, F64)
     ref = travel_time_table(g, sources, receivers, F64, mesh)
     np.testing.assert_allclose(table, ref, rtol=1e-12, atol=1e-9)
+
+
+def test_sharded_twrapped_table(tiny_annulus, tiny_velocity):
+    # production Pallas kernel inside each shard (interpret mode on the
+    # virtual CPU mesh), uneven source count incl. the centre node
+    from raytracer_tpu.ops.circulant import build_circulant
+    from raytracer_tpu.parallel import travel_time_table, travel_time_table_twrapped
+
+    gr, A, halo = tiny_annulus
+    F32 = SolverConfig(dtype="float32")
+    cg = build_circulant(gr, A, halo, tiny_velocity, dtype=np.float32)
+    mesh = make_mesh()
+    sources = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+               for d in (0.0, 60.0, 120.0, 250.0, 333.0)]
+    sources.append(cg.cmap.center)
+    receivers = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+                 for d in (30.0, 180.0)]
+    receivers.append(cg.cmap.center)
+    table = travel_time_table_twrapped(cg, sources, receivers, F32, mesh,
+                                       interpret=True)
+    assert table.shape == (len(sources), len(receivers))
+    g = rt.prepare(A, halo, gr, tiny_velocity, F32)
+    ref = travel_time_table(g, sources, receivers, F32, mesh)
+    np.testing.assert_allclose(table, ref, rtol=1e-5, atol=5e-3)
