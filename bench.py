@@ -180,7 +180,10 @@ def main():
 
 if __name__ == "__main__":
     if "--probe" in sys.argv:
-        probe(sys.argv[sys.argv.index("--probe") + 1])
+        i = sys.argv.index("--probe")
+        if i + 1 >= len(sys.argv):
+            sys.exit("usage: bench.py --probe <method>")
+        probe(sys.argv[i + 1])
     elif "--pallas-probe" in sys.argv:  # legacy entry
         probe("pallas")
     else:

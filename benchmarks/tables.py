@@ -124,6 +124,9 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"3-D bench skipped: {type(e).__name__}: {e}")
 
+    if not rows:
+        sys.exit("no workload produced a row (all methods unavailable); "
+                 f"leaving {args.out} untouched")
     with open(args.out, "w", newline="") as f:
         wr = csv.DictWriter(f, fieldnames=list(rows[0]))
         wr.writeheader()

@@ -35,7 +35,8 @@ def main():
     ap.add_argument("--model", default="ak135")
     ap.add_argument("--wave", default="Vp", choices=["Vp", "Vs"])
     ap.add_argument("--method", default="auto",
-                    choices=["auto", "wrapped", "diag", "circulant", "pallas", "fused", "ell"])
+                    choices=["auto", "twrapped", "wrapped", "diag", "circulant",
+                             "pallas", "fused", "ell"])
     ap.add_argument("--out-prefix", default="annulus_run")
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--cache-dir", default=None,

@@ -124,6 +124,7 @@ class WrappedStencil(NamedTuple):
     offs: np.ndarray
     wp: np.ndarray
     wpT: np.ndarray
+    dcache: dict  # device-resident uploads, keyed like wrapped_t's
     rho_starts: Tuple[int, ...]
     ring_f: np.ndarray
     ring_b: np.ndarray
@@ -259,7 +260,7 @@ def pack_wrapped_stencil(cg: CirculantGraph, dtype=np.float32,
 
     return WrappedStencil(
         offs=offs, wp=wp.astype(dtype), wpT=wpT.astype(dtype),
-        rho_starts=rho_starts,
+        dcache={}, rho_starts=rho_starts,
         ring_f=_diag_vec(0, -1)[:, None].astype(dtype),
         ring_b=_diag_vec(0, +1)[:, None].astype(dtype),
         cfl=cfl.astype(dtype), cbl=cbl.astype(dtype),
@@ -504,6 +505,25 @@ class WrappedState(NamedTuple):
     it: jax.Array
 
 
+_EXTRACT_CACHE_MAX = 8  # receiver sets kept per stencil (oldest evicted)
+
+
+def _extract_cached(dcache: dict, cmap, receivers):
+    """(n_out, (m, c, center, valid) device arrays), cached per receiver
+    set in the stencil's dcache with a bounded number of entries."""
+    rkey = (None if receivers is None
+            else np.asarray(receivers, dtype=np.int64).tobytes())
+    key = ("extract", rkey)
+    if key not in dcache:
+        ext = [k for k in dcache if isinstance(k, tuple) and k[0] == "extract"]
+        if len(ext) >= _EXTRACT_CACHE_MAX:
+            del dcache[ext[0]]
+        m_idx, c_idx, center_mask, valid = _node_extract_arrays(cmap, receivers)
+        dcache[key] = (len(m_idx), tuple(
+            jnp.asarray(a) for a in (m_idx, c_idx, center_mask, valid)))
+    return dcache[key]
+
+
 def _node_extract_arrays(cmap, receivers=None):
     """Index arrays mapping nodes (all, or a receiver subset) into the
     wrapped (Mp, S*NTL) layout, for on-device extraction."""
@@ -605,18 +625,15 @@ def solve_circulant_wrapped(
     nt, Mp, NTL = ws.nt, ws.Mp, ws.NTL
     S = max(1, min(batch, len(sources)))
 
-    offs = jnp.asarray(ws.offs)
-    wp = jnp.asarray(ws.wp)
-    wpT = jnp.asarray(ws.wpT)
-    rf, rb = jnp.asarray(ws.ring_f), jnp.asarray(ws.ring_b)
-    cfl, cbl = jnp.asarray(ws.cfl), jnp.asarray(ws.cbl)
-    fan = jnp.asarray(ws.fan_w)
+    if "tables" not in ws.dcache:  # cost tables: uploaded once per stencil
+        ws.dcache["tables"] = tuple(
+            jnp.asarray(a) for a in (ws.offs, ws.wp, ws.wpT, ws.ring_f,
+                                     ws.ring_b, ws.cfl, ws.cbl, ws.fan_w))
+    offs, wp, wpT, rf, rb, cfl, cbl, fan = ws.dcache["tables"]
     tol = jnp.asarray(config.tol_value(), dtype)
 
-    m_idx, c_idx, center_mask, valid = _node_extract_arrays(cmap, receivers)
-    jm, jc = jnp.asarray(m_idx), jnp.asarray(c_idx)
-    jcm, jv = jnp.asarray(center_mask), jnp.asarray(valid)
-    out = np.empty((len(sources), len(m_idx)), dtype=dtype)
+    n_out, (jm, jc, jcm, jv) = _extract_cached(ws.dcache, cmap, receivers)
+    out = np.empty((len(sources), n_out), dtype=dtype)
     iters = 0
     for lo in range(0, len(sources), S):
         chunk = sources[lo:lo + S]

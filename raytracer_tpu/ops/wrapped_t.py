@@ -53,10 +53,16 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import DEFAULT_SOLVER_CONFIG, SolverConfig
 from .circulant import CirculantGraph, _DC_RANGE
 from .diag_circulant import LANES, SUB, _round_up, decompose_diagonals
-from .diag_wrapped import _compose_vertical, _pow2_below, _window_costs
+from .diag_wrapped import (
+    _chain_spans,
+    _compose_vertical,
+    _extract_cached,
+    _node_extract_arrays,
+    _pow2_below,
+    _window_costs,
+)
 
 RING_REPEAT = 16   # fori span of the theta (row) scan
-CHAIN_REPEAT = 32  # fori span of the slot (lane) scan
 NDC = 2 * _DC_RANGE + 1
 
 
@@ -200,8 +206,7 @@ def pack_twrapped_stencil(cg: CirculantGraph, dtype=np.float32,
     chain_b = _diag_vec(+1, 0)
     chain_b[Mp - 1] = np.inf
     chain_b[Mp:] = np.inf
-    spans = tuple(s for s in _pow2_below(CHAIN_REPEAT) + (CHAIN_REPEAT,)
-                  if s < Mp) or (1,)
+    spans = _chain_spans(Mp)
     cfl = _window_costs(chain_f, spans)[:, None, :]
     cbl = _window_costs(chain_b[::-1], spans)[:, ::-1][:, None, :]
 
@@ -219,11 +224,6 @@ def pack_twrapped_stencil(cg: CirculantGraph, dtype=np.float32,
     )
 
 
-def _chain_span_list(Mp: int):
-    return tuple(s for s in _pow2_below(CHAIN_REPEAT) + (CHAIN_REPEAT,)
-                 if s < Mp) or (1,)
-
-
 def _make_titer_kernel(Mp: int, ML: int, NTT: int, nt: int, maxdm: int,
                        iters: int, S: int = 1):
     rows = S * NTT
@@ -232,7 +232,7 @@ def _make_titer_kernel(Mp: int, ML: int, NTT: int, nt: int, maxdm: int,
     ring_statics = tuple(s for s in _pow2_below(RING_REPEAT) if s < NTT)
     ring_rep = RING_REPEAT
     n_ring = max(0, -(-(NTT - ring_rep) // ring_rep)) if NTT > ring_rep else 0
-    chain_all = _chain_span_list(Mp)
+    chain_all = _chain_spans(Mp)
     chain_statics, chain_rep = chain_all[:-1], chain_all[-1]
     n_chain = max(0, -(-(Mp - chain_rep) // chain_rep))
 
@@ -447,18 +447,9 @@ def _solve_twrapped_jit(src_m, src_c, src_cen, wrows, rf, rb, cfl, cbl,
     return jax.lax.while_loop(cond, body, state)
 
 
-def _extract_arrays(cmap, receivers=None):
-    if receivers is None:
-        sel = np.arange(len(cmap.m_of), dtype=np.int64)
-    else:
-        sel = np.asarray(receivers, dtype=np.int64).ravel()
-    m = cmap.m_of[sel]
-    c = cmap.c_of[sel]
-    valid = m >= 0
-    center_mask = (sel == cmap.center if cmap.center >= 0
-                   else np.zeros(len(sel), dtype=bool))
-    return (np.where(valid, m, 0).astype(np.int32),
-            np.where(valid, c, 0).astype(np.int32), center_mask, valid)
+# node -> (slot, column) extraction indices; shared with the slot-major
+# kernel (diag_wrapped)
+_extract_arrays = _node_extract_arrays
 
 
 @functools.partial(jax.jit, static_argnames=("S", "NTT"))
@@ -515,14 +506,7 @@ def solve_circulant_twrapped(
     wrows, rf, rb, cfl, cbl, fan = ws.dcache["tables"]
     tol = jnp.asarray(config.tol_value(), dtype)
 
-    rkey = (None if receivers is None
-            else np.asarray(receivers, dtype=np.int64).tobytes())
-    if ("extract", rkey) not in ws.dcache:
-        m_idx, c_idx, center_mask, valid = _extract_arrays(cmap, receivers)
-        ws.dcache[("extract", rkey)] = (
-            len(m_idx), tuple(jnp.asarray(a) for a in
-                              (m_idx, c_idx, center_mask, valid)))
-    n_out, (jm, jc, jcm, jv) = ws.dcache[("extract", rkey)]
+    n_out, (jm, jc, jcm, jv) = _extract_cached(ws.dcache, cmap, receivers)
 
     out = np.empty((len(sources), n_out), dtype=dtype)
     # dispatch every chunk asynchronously, sync ONCE at the end: the

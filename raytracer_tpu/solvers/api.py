@@ -116,10 +116,12 @@ class AnnulusSolver:
         return self._method
 
     def _dist_batch(self, sources: Sequence[int],
-                    receivers=None) -> np.ndarray:
+                    receivers=None, batch: int = 8) -> np.ndarray:
         """(S, n) distance fields for a batch of sources; with `receivers`,
         (S, n_receivers) — extracted on device where the method supports it
-        (the full-field device->host pull dominates table workloads)."""
+        (the full-field device->host pull dominates table workloads).
+        `batch` bounds the per-dispatch source block of the batched
+        kernels (VMEM scales with it)."""
         if self._method == "twrapped":
             from ..ops.wrapped_t import pack_twrapped_stencil, solve_circulant_twrapped
 
@@ -130,7 +132,7 @@ class AnnulusSolver:
                 )
             dist, iters = solve_circulant_twrapped(
                 self.circulant, sources, self.config,
-                batch=min(8, len(sources)), receivers=receivers,
+                batch=min(batch, len(sources)), receivers=receivers,
                 _packed=self._twrapped_stencil
             )
             self.last_iterations = iters
@@ -144,7 +146,7 @@ class AnnulusSolver:
                 )
             dist, iters = solve_circulant_wrapped(
                 self.circulant, sources, self.config,
-                batch=min(8, len(sources)), receivers=receivers,
+                batch=min(batch, len(sources)), receivers=receivers,
                 _packed=self._wrapped_stencil
             )
             self.last_iterations = iters
@@ -212,7 +214,7 @@ class AnnulusSolver:
         receivers = np.asarray(receivers)
         if self._method == "twrapped":
             return self._dist_batch([int(s) for s in sources],
-                                    receivers=receivers)
+                                    receivers=receivers, batch=batch)
         out = np.empty((len(sources), len(receivers)))
         for i in range(0, len(sources), batch):
             chunk = [int(s) for s in sources[i:i + batch]]

@@ -70,6 +70,21 @@ def test_twrapped_source_batching_and_center():
         np.testing.assert_allclose(d_b[i][ok], d_ref[ok], rtol=1e-6, atol=5e-3)
 
 
+def test_twrapped_batching_with_dup_rows():
+    # the PRODUCTION wrap regime: dup > 0 (ntheta=20 -> NTT=24, 4 defect
+    # rows, like nt=180 -> dup=4) combined with S > 1 source blocks -
+    # exercises masked full-array page rolls + cross-block merge_dup
+    gr, cg = _setup(20, 4, 400.0)
+    degs = (0.0, 95.0, 200.0, 310.0, 170.0)
+    srcs = [rt.closest_point(gr, np.deg2rad(d), R, system="polar") for d in degs]
+    d_b, _ = solve_circulant_twrapped(cg, srcs, F32, sweeps_per_call=2,
+                                      interpret=True, batch=2)
+    for i, s in enumerate(srcs):
+        d_ref, _ = solve_circulant(cg, s, F32)
+        ok = np.isfinite(d_ref)
+        np.testing.assert_allclose(d_b[i][ok], d_ref[ok], rtol=1e-6, atol=5e-3)
+
+
 def test_twrapped_receiver_extraction():
     gr, cg = _setup(16, 4, 400.0)
     degs = (0.0, 45.0, 120.0)
