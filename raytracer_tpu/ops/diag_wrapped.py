@@ -544,11 +544,12 @@ def _node_extract_arrays(cmap, receivers=None):
 
 
 @functools.partial(jax.jit, static_argnames=("S", "NTL"))
-def _extract_jit(dist2d, cen2d, m_idx, c_idx, center_mask, valid,
+def _extract_jit(dist2d, cen2d, it, m_idx, c_idx, center_mask, valid,
                  S: int, NTL: int):
-    """(S, k) node-ordered values gathered on device from the wrapped
-    layout; the full-field device->host pull (tunnel-bound, ~220 ms for
-    the 8-source 180x63 block) shrinks to exactly the values needed."""
+    """(S, k+1) node-ordered values gathered on device from the wrapped
+    layout, iteration count in the last column - one pull, one tunnel
+    round trip (the full-field pull cost ~220 ms for the 8-source
+    180x63 block; a separate scalar fetch costs a second round trip)."""
     width = dist2d.shape[1]
     flat = dist2d.reshape(-1)
     base = m_idx * width + c_idx
@@ -557,7 +558,9 @@ def _extract_jit(dist2d, cen2d, m_idx, c_idx, center_mask, valid,
     for b in range(S):
         g = jnp.where(valid, flat[base + b * NTL], inf)
         rows.append(jnp.where(center_mask, cen2d[0, b * LANES], g))
-    return jnp.stack(rows)
+    vals = jnp.stack(rows)
+    itcol = jnp.broadcast_to(it.astype(vals.dtype), (S, 1))
+    return jnp.concatenate([vals, itcol], axis=1)
 
 
 @functools.partial(
@@ -634,7 +637,9 @@ def solve_circulant_wrapped(
 
     n_out, (jm, jc, jcm, jv) = _extract_cached(ws.dcache, cmap, receivers)
     out = np.empty((len(sources), n_out), dtype=dtype)
-    iters = 0
+    # dispatch every chunk asynchronously, sync once at the end (the
+    # ~28 ms tunnel round trip is paid per call, not per chunk)
+    pending = []
     for lo in range(0, len(sources), S):
         chunk = sources[lo:lo + S]
         n_real = len(chunk)
@@ -656,8 +661,12 @@ def solve_circulant_wrapped(
             config.max_iters, sweeps_per_call, interpret, S,
             weight_mode, pre_roll,
         )
-        vals = np.asarray(_extract_jit(st.dist, st.dcen, jm, jc, jcm, jv,
-                                       S, NTL))
-        out[lo:lo + n_real] = vals[:n_real]
-        iters = int(st.it)
+        pending.append((lo, n_real,
+                        _extract_jit(st.dist, st.dcen, st.it, jm, jc,
+                                     jcm, jv, S, NTL)))
+    iters = 0
+    for lo, n_real, vals_it in pending:
+        arr = np.asarray(vals_it)
+        out[lo:lo + n_real] = arr[:n_real, :-1]
+        iters = int(arr[0, -1])
     return out, iters

@@ -212,7 +212,7 @@ class AnnulusSolver:
         not per chunk).
         """
         receivers = np.asarray(receivers)
-        if self._method == "twrapped":
+        if self._method in ("twrapped", "wrapped"):
             return self._dist_batch([int(s) for s in sources],
                                     receivers=receivers, batch=batch)
         out = np.empty((len(sources), len(receivers)))
