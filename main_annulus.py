@@ -74,7 +74,7 @@ def main():
         solver.solve(source, want_prev=False)
     with timer.section("bfm solve (steady)"):
         solver.solve(source, want_prev=False)
-    with timer.section("prev recovery (host)"):
+    with timer.section("prev recovery"):
         D = solver.solve(source)
     if solver.last_iterations:
         print(f"Converged in {solver.last_iterations} iterations")

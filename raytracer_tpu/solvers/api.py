@@ -17,7 +17,6 @@ from ..config import DEFAULT_SOLVER_CONFIG, SolverConfig
 from ..ops.circulant import (
     CirculantError,
     CirculantGraph,
-    PrevRecovery,
     build_circulant,
     solve_circulant,
 )
@@ -70,7 +69,6 @@ class AnnulusSolver:
         self.circulant: Optional[CirculantGraph] = None
         self.ell = None
         self.last_iterations: Optional[int] = None
-        self._prev_recovery: Optional[PrevRecovery] = None
 
         if method == "auto":
             import jax
@@ -191,9 +189,9 @@ class AnnulusSolver:
             return _bfm.solve(self.ell, source, self.config)
         dist = self._dist_batch([source])[0]
         if want_prev:
-            if self._prev_recovery is None:
-                self._prev_recovery = PrevRecovery(self.gr, self.A, self.halo, self.U)
-            prev = self._prev_recovery(np.asarray(dist, np.float64))
+            from ..ops.circulant import recover_prev_device
+
+            prev = recover_prev_device(self.circulant, dist)
             prev[source] = source
         else:
             prev = np.arange(len(dist))

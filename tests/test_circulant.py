@@ -58,6 +58,60 @@ def test_circulant_center_source(circ):
     assert dist[center] == 0.0
 
 
+def test_prev_recovery_device_matches_host(circ):
+    # the device argmin sweep implements the same quantise + longest-hop
+    # rule as the host lexsort; in f64 they agree except where several
+    # edges tie exactly in BOTH keys (either pick is a valid SSSP tree)
+    from raytracer_tpu.ops.circulant import PrevRecovery, recover_prev_device
+
+    gr, A, halo, U, cg = circ
+    src = rt.closest_point(gr, np.deg2rad(37.0), R, system="polar")
+    dist, _ = solve_circulant(cg, src, F64)
+    pr = PrevRecovery(gr, A, halo, U)
+    prev_host = pr(dist)
+    prev_dev = recover_prev_device(cg, dist)
+    prev_host[src] = prev_dev[src] = src
+
+    agree = prev_dev == prev_host
+    disagree = np.flatnonzero(~agree)
+    ok = np.isfinite(dist)
+    # every device predecessor must be tree-valid: an edge (j -> i) with
+    # dist[j] + w == dist[i] must exist in the solver's own edge list
+    # (incl. the epsilon-weight halo twin links)
+    for i in disagree:
+        if not ok[i]:
+            continue
+        j = prev_dev[i]
+        hits = np.flatnonzero((pr.rows == i) & (pr.cols == j))
+        assert hits.size, f"device prev edge {j}->{i} not in graph"
+        w = pr.w[hits].min()
+        assert abs(dist[j] + w - dist[i]) < 1e-3, (i, j)
+    assert agree.mean() > 0.99
+    # unreachable nodes point to themselves on both
+    np.testing.assert_array_equal(prev_dev[~ok], np.flatnonzero(~ok))
+
+
+def test_prev_recovery_device_center(circ):
+    from raytracer_tpu.ops.circulant import recover_prev_device
+
+    gr, A, halo, U, cg = circ
+    center = cg.cmap.center
+    dist, _ = solve_circulant(cg, center, F64)
+    prev = recover_prev_device(cg, dist)
+    prev[center] = center
+    # the fan slots nearest the centre must trace back to it
+    fan_nodes = cg.cmap.node_of[cg.fan_slots]
+    assert (prev[fan_nodes.ravel()] == center).any()
+    ok = np.isfinite(dist)
+    # backtracing from a surface receiver reaches the centre source
+    rec = rt.closest_point(gr, np.deg2rad(90.0), R, system="polar")
+    node, hops = rec, 0
+    while node != center and hops < gr.nnods:
+        node = int(prev[node])
+        hops += 1
+    assert node == center
+
+
 def test_annulus_solver_auto_picks_circulant(circ):
     gr, A, halo, U, _ = circ
     solver = rt.AnnulusSolver(gr, A, halo, U, F64)
