@@ -109,14 +109,22 @@ def probe(method):
 def main():
     _setup_jax()
     # independent physical anchor for probe validation (1-D AK135 ray
-    # theory; SPM first arrivals overshoot it by the +3.6 s
-    # discretisation bias at spacing=20, see ACCURACY.md)
-    from raytracer_tpu.models.raytheory import ak135_first_arrivals
+    # theory; SPM first arrivals overshoot it by the +3.2 s
+    # discretisation bias at 60 deg, spacing=20 - see ACCURACY.md).
+    # Window [ray+1, ray+6] rejects kernels with >~3 s systematic error
+    # while tolerating mesher-level bias drift.
+    try:
+        from raytracer_tpu.models.raytheory import ak135_first_arrivals
 
-    t60_ray = float(ak135_first_arrivals(np.asarray([60.0]))[0])
+        t60_ray = float(ak135_first_arrivals(np.asarray([60.0]))[0])
+        t60_lo, t60_hi = t60_ray + 1.0, t60_ray + 6.0
+    except Exception as e:  # noqa: BLE001
+        log(f"ray-theory anchor unavailable ({type(e).__name__}); "
+            "falling back to the physical window")
+        t60_lo, t60_hi = 550.0, 750.0
 
     def t60_valid(t60):
-        return t60_ray - 2.0 < t60 < t60_ray + 10.0
+        return t60_lo < t60 < t60_hi
 
     def run_probe(probe_method):
         try:
@@ -130,7 +138,7 @@ def main():
                 if t60_valid(res["t60"]):
                     return res["t"]
                 log(f"{probe_method} probe t60 {res['t60']:.1f} outside "
-                    f"anchor window around {t60_ray:.1f}")
+                    f"anchor window ({t60_lo:.1f}, {t60_hi:.1f})")
         except (subprocess.TimeoutExpired, Exception) as e:  # noqa: BLE001
             log(f"{probe_method} probe unavailable: {type(e).__name__}")
         return None
@@ -160,13 +168,19 @@ def main():
         t60 = float(D.dist[rec60])
         log(f"travel time at 60 deg: {t60:.2f} s (AK135 P ~ 600 s)")
         assert 550.0 < t60 < 750.0, f"unphysical travel time {t60}"
-        degs = np.arange(10.0, 95.0, 10.0)
-        recs = [rt.closest_point(gr, np.deg2rad(d), rt.R, system="polar") for d in degs]
-        t_spm = np.asarray(D.dist)[recs]
-        t_ray = ak135_first_arrivals(degs)
-        rmse = float(np.sqrt(np.mean((t_spm - t_ray) ** 2)))
-        log(f"RMSE vs ray theory (10-90 deg): {rmse:.2f} s "
-            f"(SPM discretisation overshoot; see ACCURACY.md)")
+        try:
+            from raytracer_tpu.models.raytheory import ak135_first_arrivals
+
+            degs = np.arange(10.0, 95.0, 10.0)
+            recs = [rt.closest_point(gr, np.deg2rad(d), rt.R, system="polar")
+                    for d in degs]
+            t_spm = np.asarray(D.dist)[recs]
+            t_ray = ak135_first_arrivals(degs)
+            rmse = float(np.sqrt(np.mean((t_spm - t_ray) ** 2)))
+            log(f"RMSE vs ray theory (10-90 deg): {rmse:.2f} s "
+                f"(SPM discretisation overshoot; see ACCURACY.md)")
+        except Exception as e:  # noqa: BLE001
+            log(f"ray-theory RMSE skipped: {type(e).__name__}")
         if best is None or t_jnp < best:
             best, method = t_jnp, "jnp-circulant"
 

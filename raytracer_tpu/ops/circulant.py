@@ -493,16 +493,22 @@ def _prev_argmin_jit(dist_nodes, src_flat, w, fan_slots, fan_w, node_of,
     return jnp.where(jnp.isfinite(dist_nodes) & (prev >= 0), prev, idx)
 
 
-def recover_prev_device(cg: CirculantGraph, dist: np.ndarray) -> np.ndarray:
+def recover_prev_device(cg: CirculantGraph, dist: np.ndarray,
+                        _dcache: Optional[dict] = None) -> np.ndarray:
     """Predecessor array from a converged node-ordered distance field,
     computed on device over the circulant stencil (same tie-break rule
     as PrevRecovery; the two may differ only where several edges tie
     exactly in both quantised cost and hop length - either choice is a
-    valid shortest-path tree)."""
+    valid shortest-path tree).  Pass a dict as `_dcache` to upload the
+    stencil arrays once across repeated calls."""
     cmap = cg.cmap
-    prev = _prev_argmin_jit(
-        jnp.asarray(dist), jnp.asarray(cg.src_flat), jnp.asarray(cg.w),
-        jnp.asarray(cg.fan_slots), jnp.asarray(cg.fan_w),
-        jnp.asarray(cmap.node_of.astype(np.int32)), int(cmap.center),
-    )
+    if _dcache is None:
+        _dcache = {}
+    if "prev_tables" not in _dcache:
+        _dcache["prev_tables"] = tuple(jnp.asarray(a) for a in (
+            cg.src_flat, cg.w, cg.fan_slots, cg.fan_w,
+            cmap.node_of.astype(np.int32)))
+    sf, w, fs, fw, node_of = _dcache["prev_tables"]
+    prev = _prev_argmin_jit(jnp.asarray(dist), sf, w, fs, fw, node_of,
+                            int(cmap.center))
     return np.asarray(prev).astype(np.int64)

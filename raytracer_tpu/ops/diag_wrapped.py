@@ -505,6 +505,28 @@ class WrappedState(NamedTuple):
     it: jax.Array
 
 
+def _pipelined_chunk_solve(sources, S: int, n_out: int, dtype, dispatch):
+    """Shared chunked-solve protocol of the batched kernels: pad the last
+    chunk by repeating its final source, dispatch every chunk
+    asynchronously via `dispatch(chunk) -> (S, n_out+1)` (iteration count
+    in the last column), then materialise results in a second pass - the
+    ~28 ms tunnel round trip is paid once per call, not per chunk."""
+    out = np.empty((len(sources), n_out), dtype=dtype)
+    pending = []
+    for lo in range(0, len(sources), S):
+        chunk = sources[lo:lo + S]
+        n_real = len(chunk)
+        if n_real < S:
+            chunk = np.concatenate([chunk, np.full(S - n_real, chunk[-1])])
+        pending.append((lo, n_real, dispatch(chunk)))
+    iters = 0
+    for lo, n_real, vals_it in pending:
+        arr = np.asarray(vals_it)
+        out[lo:lo + n_real] = arr[:n_real, :-1]
+        iters = int(arr[0, -1])
+    return out, iters
+
+
 _EXTRACT_CACHE_MAX = 8  # receiver sets kept per stencil (oldest evicted)
 
 
@@ -636,15 +658,8 @@ def solve_circulant_wrapped(
     tol = jnp.asarray(config.tol_value(), dtype)
 
     n_out, (jm, jc, jcm, jv) = _extract_cached(ws.dcache, cmap, receivers)
-    out = np.empty((len(sources), n_out), dtype=dtype)
-    # dispatch every chunk asynchronously, sync once at the end (the
-    # ~28 ms tunnel round trip is paid per call, not per chunk)
-    pending = []
-    for lo in range(0, len(sources), S):
-        chunk = sources[lo:lo + S]
-        n_real = len(chunk)
-        if n_real < S:  # repeat the last source to fill the block row
-            chunk = np.concatenate([chunk, np.full(S - n_real, chunk[-1])])
+
+    def dispatch(chunk):
         dist0 = np.full((Mp, S * NTL), np.inf, dtype=dtype)
         cen0 = np.full((SUB, S * LANES), np.inf, dtype=dtype)
         for b, src in enumerate(chunk):
@@ -661,12 +676,6 @@ def solve_circulant_wrapped(
             config.max_iters, sweeps_per_call, interpret, S,
             weight_mode, pre_roll,
         )
-        pending.append((lo, n_real,
-                        _extract_jit(st.dist, st.dcen, st.it, jm, jc,
-                                     jcm, jv, S, NTL)))
-    iters = 0
-    for lo, n_real, vals_it in pending:
-        arr = np.asarray(vals_it)
-        out[lo:lo + n_real] = arr[:n_real, :-1]
-        iters = int(arr[0, -1])
-    return out, iters
+        return _extract_jit(st.dist, st.dcen, st.it, jm, jc, jcm, jv, S, NTL)
+
+    return _pipelined_chunk_solve(sources, S, n_out, dtype, dispatch)

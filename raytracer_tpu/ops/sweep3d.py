@@ -137,6 +137,7 @@ def sweep3d_T(dist_flat: jax.Array, W4: jax.Array, n1: int, BR: int,
               NB: int, L0: int, H8: int, T: int,
               interpret: bool = False) -> jax.Array:
     """T relaxation sweeps of the flat (NB*BR, L0) field."""
+    assert T >= 1, "sweep3d_T needs at least one sweep round (out is only written in rounds t >= 1)"
     kernel = _make_sweep3d_kernel(n1, BR, NB, L0, H8, T)
     G = H8 + NB * BR + H8
     din = dist_flat.reshape(NB, BR, L0)

@@ -58,6 +58,7 @@ from .diag_wrapped import (
     _compose_vertical,
     _extract_cached,
     _node_extract_arrays,
+    _pipelined_chunk_solve,
     _pow2_below,
     _window_costs,
 )
@@ -508,16 +509,7 @@ def solve_circulant_twrapped(
 
     n_out, (jm, jc, jcm, jv) = _extract_cached(ws.dcache, cmap, receivers)
 
-    out = np.empty((len(sources), n_out), dtype=dtype)
-    # dispatch every chunk asynchronously, sync ONCE at the end: the
-    # ~28 ms tunnel round-trip latency is paid once per call, not per
-    # chunk, and chunk k+1's device work overlaps chunk k's result pull
-    pending = []
-    for lo in range(0, len(sources), S):
-        chunk = sources[lo:lo + S]
-        n_real = len(chunk)
-        if n_real < S:
-            chunk = np.concatenate([chunk, np.full(S - n_real, chunk[-1])])
+    def dispatch(chunk):
         is_cen = chunk == cmap.center
         src_m = np.where(is_cen, 0, cmap.m_of[chunk]).astype(np.int32)
         src_c = np.where(is_cen, 0, cmap.c_of[chunk]).astype(np.int32)
@@ -526,11 +518,7 @@ def solve_circulant_twrapped(
             Mp, ML, NTT, nt, ws.maxdm,
             config.max_iters, sweeps_per_call, interpret, S,
         )
-        pending.append((lo, n_real, _textract_jit(
-            st.dist, st.dcen, st.it, jm, jc, jcm, jv, S, NTT)))
-    iters = 0
-    for lo, n_real, vals_it in pending:
-        arr = np.asarray(vals_it)
-        out[lo:lo + n_real] = arr[:n_real, :-1]
-        iters = int(arr[0, -1])
-    return out, iters
+        return _textract_jit(st.dist, st.dcen, st.it, jm, jc, jcm, jv,
+                             S, NTT)
+
+    return _pipelined_chunk_solve(sources, S, n_out, dtype, dispatch)

@@ -78,6 +78,7 @@ class AnnulusSolver:
         self._diag_stencil = None
         self._wrapped_stencil = None
         self._twrapped_stencil = None
+        self._device_cache: dict = {}
 
         dtype = np.dtype(config.dtype)
         if method in ("twrapped", "wrapped", "diag", "pallas", "circulant", "fused"):
@@ -191,7 +192,8 @@ class AnnulusSolver:
         if want_prev:
             from ..ops.circulant import recover_prev_device
 
-            prev = recover_prev_device(self.circulant, dist)
+            prev = recover_prev_device(self.circulant, dist,
+                                       _dcache=self._device_cache)
             prev[source] = source
         else:
             prev = np.arange(len(dist))

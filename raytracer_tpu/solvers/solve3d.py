@@ -148,15 +148,16 @@ def _solve3d_jit(src, W, scan_costs, tol, max_iters: int, scan_every: int) -> So
 
 
 class Packed3D(NamedTuple):
-    W: jax.Array
+    W_np: np.ndarray    # host (26, n2, n1, n0); uploaded lazily per engine
     scan_costs: tuple
     shape: Tuple[int, int, int]
     plan: object        # ops.sweep3d.Sweep3DPlan (static layout)
-    W4: jax.Array       # streamed per-block weight slabs for the kernel
+    dcache: dict        # lazy device uploads: 'W' (xla) / 'W4' (pallas) -
+                        # each engine pins only its own ~109 MB layout
 
 
 def prepare3d(gr: Grid3D, U: np.ndarray, config: SolverConfig = DEFAULT_SOLVER_CONFIG) -> Packed3D:
-    """Precompute device arrays for repeated solve3d calls."""
+    """Precompute arrays for repeated solve3d calls."""
     from ..ops.sweep3d import plan_sweep3d
 
     dtype = np.dtype(config.dtype)
@@ -173,8 +174,20 @@ def prepare3d(gr: Grid3D, U: np.ndarray, config: SolverConfig = DEFAULT_SOLVER_C
     )
     n0, n1, n2 = gr.nnods
     plan = plan_sweep3d(W)
-    return Packed3D(W=jnp.asarray(W), scan_costs=scan_costs,
-                    shape=(n2, n1, n0), plan=plan, W4=jnp.asarray(plan.W4))
+    return Packed3D(W_np=W, scan_costs=scan_costs,
+                    shape=(n2, n1, n0), plan=plan, dcache={})
+
+
+def _kernel_vmem_bytes(plan, itemsize: int) -> int:
+    """Rough VMEM footprint of the sweep3d kernel: ping-pong scratch +
+    double-buffered W slab + in/out blocks + the 27 slab/tap statement
+    temps per block."""
+    G = plan.H8 + plan.NB * plan.BR + plan.H8
+    blk = plan.BR * plan.L0
+    return itemsize * (2 * G * plan.L0        # ping-pong pages
+                       + 2 * 26 * blk         # W4 block, double-buffered
+                       + 4 * blk              # din/out blocks, buffered
+                       + 27 * blk)            # slab + tap temps
 
 
 @functools.partial(jax.jit, static_argnames=("statics", "max_iters",
@@ -210,7 +223,9 @@ def _solve3d_kernel_jit(src, W4, scan_costs, tol, statics,
     def body(s: Solve3DState):
         f = s.dist
         if scan_every > 0:
-            f = jax.lax.cond(s.it % max(scan_every, sweeps) == 0,
+            # fire at the first dispatch boundary at/after each multiple
+            # of scan_every (it advances in `sweeps` steps)
+            f = jax.lax.cond(s.it % max(scan_every, sweeps) < sweeps,
                              scans, lambda x: x, f)
         f = sweep3d_T(f, W4, n1, BR, NB, L0, H8, sweeps, interpret)
         changed = jnp.any(f < s.dist - tol)
@@ -263,10 +278,14 @@ def solve3d(
     tol = jnp.asarray(config.tol_value(), dtype)
     ridx = (None if receivers is None
             else jnp.asarray(np.asarray(receivers, dtype=np.int32).ravel()))
+    if sweeps < 1:
+        raise ValueError("sweeps must be >= 1")
     if engine == "auto":
         import jax as _jax
 
-        engine = "pallas" if _jax.devices()[0].platform == "tpu" else "xla"
+        on_tpu = _jax.devices()[0].platform == "tpu"
+        fits = _kernel_vmem_bytes(packed.plan, dtype.itemsize) < 100 * 2**20
+        engine = "pallas" if (on_tpu and fits) else "xla"
 
     ncol = gr.nnods_total if receivers is None else len(ridx)
     out = np.empty((len(sources), ncol), dtype=dtype)
@@ -279,12 +298,14 @@ def solve3d(
     for src in sources:
         # flat id layout: theta fastest (grid3d.py:27)
         if engine == "pallas":
-            st = _solve3d_kernel_jit(np.int32(src), packed.W4,
+            W4 = packed.dcache.setdefault("W4", jnp.asarray(packed.plan.W4))
+            st = _solve3d_kernel_jit(np.int32(src), W4,
                                      packed.scan_costs, tol, statics,
                                      config.max_iters, scan_every,
                                      sweeps, interpret)
         else:
-            st = _solve3d_jit(np.int32(src), packed.W, packed.scan_costs, tol,
+            W = packed.dcache.setdefault("W", jnp.asarray(packed.W_np))
+            st = _solve3d_jit(np.int32(src), W, packed.scan_costs, tol,
                               config.max_iters, scan_every)
         pending.append(st if ridx is None else (st, _gather3d(st.dist, ridx)))
     iters = 0

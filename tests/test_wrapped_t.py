@@ -143,6 +143,25 @@ def test_twrapped_matches_dijkstra_f64_weights():
     np.testing.assert_allclose(d_w[0][ok], Dd.dist[ok], rtol=1e-4, atol=1e-2)
 
 
+def test_twrapped_s_wave_zero_velocity_core():
+    # Vs = 0 outer core: +inf impassable weights survive the band
+    # closure and the moving-frame pack; unreachable set matches exactly
+    gr, A, halo = rt.init_annulus(16, 6, spacing=200.0)
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vs)
+    U = rt.interpolate_velocity(gr.r, interp)
+    assert (U <= 0).sum() > 0
+    cg = build_circulant(gr, A, halo, U, dtype=np.float32)
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    d_ref, _ = solve_circulant(cg, src, F32)
+    d_w, _ = solve_circulant_twrapped(cg, [src], F32, sweeps_per_call=2,
+                                      interpret=True, band_closure=1)
+    assert not np.isnan(d_w[0]).any()
+    ok = np.isfinite(d_ref)
+    np.testing.assert_array_equal(np.isfinite(d_w[0]), ok)
+    np.testing.assert_allclose(d_w[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3)
+
+
 def test_pack_twrapped_invariants():
     gr, cg = _setup(16, 4, 400.0)
     ws = pack_twrapped_stencil(cg)
