@@ -162,6 +162,38 @@ def test_twrapped_s_wave_zero_velocity_core():
     np.testing.assert_allclose(d_w[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3)
 
 
+@pytest.mark.parametrize("ntheta", [9, 12, 24, 30])
+def test_twrapped_wrap_regimes(ntheta):
+    # unusual theta counts across the 8-row cover regimes: dup = 7, 4,
+    # 0, 2 (the _DC_RANGE boundary) - all must match the jnp fixpoint
+    gr, cg = _setup(ntheta, 3, 500.0)
+    assert supports_twrapped(cg)
+    src = rt.closest_point(gr, np.deg2rad(25.0), R, system="polar")
+    d_ref, _ = solve_circulant(cg, src, F32)
+    ok = np.isfinite(d_ref)
+    d_w, _ = solve_circulant_twrapped(cg, [src], F32, sweeps_per_call=2,
+                                      interpret=True)
+    np.testing.assert_allclose(d_w[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3)
+
+
+def test_twrapped_unsupported_falls_back():
+    # ntheta=15 -> NTT=16, dup=1 < _DC_RANGE: the theta-major kernel must
+    # refuse and AnnulusSolver must fall through to the slot-major kernel
+    from raytracer_tpu.config import SolverConfig
+
+    gr, A, halo = rt.init_annulus(15, 3, spacing=500.0)
+    prof = rt.velocity_profile()
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = rt.interpolate_velocity(gr.r, interp)
+    cg = build_circulant(gr, A, halo, U, dtype=np.float32)
+    assert not supports_twrapped(cg)
+    with pytest.raises(ValueError):
+        solve_circulant_twrapped(cg, [0], F32, interpret=True)
+    solver = rt.AnnulusSolver(gr, A, halo, U, SolverConfig(dtype="float32"),
+                              method="twrapped")
+    assert solver.method == "wrapped"
+
+
 def test_pack_twrapped_invariants():
     gr, cg = _setup(16, 4, 400.0)
     ws = pack_twrapped_stencil(cg)
