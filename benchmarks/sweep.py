@@ -29,11 +29,15 @@ REF = {
     (180, 90): (11.24, 3.84, 2.36),
 }
 CONFIGS = {
-    # the degenerate (5, 5) reference row is omitted by default: at
-    # ntheta=5 the seam-spanning edges break the circulant symmetry and
-    # the run falls back to the (slow-on-TPU) ELL path - it works, but
-    # dominates the sweep wall-clock for a 1,015-node toy grid
-    "full": [(90, 32, "P"), (180, 63, "P"), (180, 90, "P"), (720, 200, "S")],
+    # entries: (ntheta, nr, wave[, spacing_km]); spacing defaults to 20
+    # (the reference benchmark scripts' value). The 180x50@50 row is the
+    # reference DRIVER config verbatim (main_annulus.jl:35-40, BASELINE
+    # config #1). The degenerate (5, 5) reference row is omitted by
+    # default: at ntheta=5 the seam-spanning edges break the circulant
+    # symmetry and the run falls back to the (slow-on-TPU) ELL path -
+    # it works, but dominates the sweep wall-clock for a 1,015-node toy.
+    "full": [(180, 50, "P", 50.0), (90, 32, "P"), (180, 63, "P"),
+             (180, 90, "P"), (720, 200, "S")],
     "small": [(90, 32, "P"), (180, 63, "P")],
     "tiny": [(45, 16, "P")],
 }
@@ -60,9 +64,12 @@ def main():
     cfg = SolverConfig(dtype="float32")
 
     rows = []
-    for ntheta, nr, wave in CONFIGS[args.configs]:
+    for cfg_row in CONFIGS[args.configs]:
+        ntheta, nr, wave = cfg_row[:3]
+        spacing = cfg_row[3] if len(cfg_row) > 3 else 20.0
         t0 = time.time()
-        gr, A, halo = init_annulus_cached(ntheta, nr, spacing=20.0, cache_dir=cache_dir)
+        gr, A, halo = init_annulus_cached(ntheta, nr, spacing=spacing,
+                                          cache_dir=cache_dir)
         t_build = time.time() - t0
 
         model = "iasp91" if wave == "S" else "ak135"
@@ -92,6 +99,7 @@ def main():
             "ntheta": ntheta,
             "nr": nr,
             "wave": wave,
+            "spacing_km": spacing,
             "build_s": round(t_build, 3),
             "bfm_tpu_s": round(t_bfm, 4),
             "method": solver.method,
