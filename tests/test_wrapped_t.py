@@ -194,6 +194,24 @@ def test_twrapped_unsupported_falls_back():
     assert solver.method == "wrapped"
 
 
+def test_twrapped_faithful_mesh():
+    # the bug-faithful replication of the reference mesher (duplicated
+    # secondary nodes incl. the el2edge slot bug) is still perfectly
+    # circulant - reference-exact meshes get the fast path too
+    gr, A, halo = rt.init_annulus(16, 6, spacing=200.0, faithful=True)
+    prof = rt.velocity_profile()
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = rt.interpolate_velocity(gr.r, interp)
+    cg = build_circulant(gr, A, halo, U, dtype=np.float32)
+    assert supports_twrapped(cg)
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    Dd = rt.dijkstra(A, halo, src, gr, U, SolverConfig(dtype="float64"))
+    d_w, _ = solve_circulant_twrapped(cg, [src], F32, sweeps_per_call=2,
+                                      interpret=True)
+    ok = np.isfinite(Dd.dist)
+    np.testing.assert_allclose(d_w[0][ok], Dd.dist[ok], rtol=1e-4, atol=1e-2)
+
+
 def test_pack_twrapped_invariants():
     gr, cg = _setup(16, 4, 400.0)
     ws = pack_twrapped_stencil(cg)
