@@ -448,8 +448,14 @@ def _prev_argmin_jit(dist_nodes, src_flat, w, fan_slots, fan_w, node_of,
     vals = R[src_flat] + w[:, :, None]                  # (M, K, nt)
     # lexicographic argmin over taps of (quantised cost, -hop length,
     # predecessor node id) - the exact order the host lexsort induces
-    # (its stable final key is CSR column order = ascending node id)
-    vq = jnp.round(vals * 1e4)                          # 0.1 ms quantisation
+    # (its stable final key is CSR column order = ascending node id).
+    # Quantise RELATIVE to each destination's cheapest candidate: at
+    # travel times beyond ~1677 s the absolute product vals*1e4 leaves
+    # float32's 2^24 contiguous-integer range and the 0.1 ms key
+    # degrades; near-min differences (the only ones that decide ties)
+    # stay exact under a per-destination offset.
+    voff = jnp.floor(jnp.min(vals, axis=1))             # (M, nt)
+    vq = jnp.round((vals - voff[:, None, :]) * 1e4)     # 0.1 ms quantisation
     min_vq = jnp.min(vq, axis=1)                        # (M, nt)
     tie1 = vq == min_vq[:, None, :]
     w_max = jnp.max(jnp.where(tie1, w[:, :, None], -inf), axis=1)
@@ -464,12 +470,14 @@ def _prev_argmin_jit(dist_nodes, src_flat, w, fan_slots, fan_w, node_of,
 
     if center >= 0 and fan_slots.shape[0] > 0:
         dcen = dist_nodes[center]
-        cen_vq = jnp.round((dcen + fan_w) * 1e4)        # (F,)
+        # same per-destination offsets as min_vq so the comparison keys
+        # share a quantisation origin
+        cen_vq = jnp.round(((dcen + fan_w)[:, None] - voff[fan_slots]) * 1e4)
         mvf = min_vq[fan_slots]                         # (F, nt)
         wbf = w_max[fan_slots]
-        take_cen = ((cen_vq[:, None] < mvf) |
-                    ((cen_vq[:, None] == mvf) & (fan_w[:, None] > wbf)) |
-                    ((cen_vq[:, None] == mvf) & (fan_w[:, None] == wbf)
+        take_cen = ((cen_vq < mvf) |
+                    ((cen_vq == mvf) & (fan_w[:, None] > wbf)) |
+                    ((cen_vq == mvf) & (fan_w[:, None] == wbf)
                      & (center < prev2d[fan_slots])))
         prev2d = prev2d.at[fan_slots].set(
             jnp.where(take_cen, jnp.int32(center), prev2d[fan_slots]))
@@ -482,7 +490,9 @@ def _prev_argmin_jit(dist_nodes, src_flat, w, fan_slots, fan_w, node_of,
 
     if center >= 0 and fan_slots.shape[0] > 0:
         fv = dist2d[fan_slots] + fan_w[:, None]         # (F, nt)
-        fvq = jnp.round(fv * 1e4)
+        # offset by the global min before quantising (ties are decided
+        # at the min, where the shifted key is exact at any travel time)
+        fvq = jnp.round((fv - jnp.floor(jnp.min(fv))) * 1e4)
         fmin = jnp.min(fvq)
         fsel = jnp.where(fvq == fmin, fan_w[:, None], -inf)
         flatb = jnp.argmax(fsel.reshape(-1))

@@ -523,7 +523,8 @@ def _pipelined_chunk_solve(sources, S: int, n_out: int, dtype, dispatch):
     for lo, n_real, vals_it in pending:
         arr = np.asarray(vals_it)
         out[lo:lo + n_real] = arr[:n_real, :-1]
-        iters = int(arr[0, -1])
+        # chunks converge at different counts; report the slowest
+        iters = max(iters, int(arr[0, -1]))
     return out, iters
 
 

@@ -1,0 +1,297 @@
+"""Streamed theta-major solver: the >=1M-node 2-D fast path.
+
+The monolithic theta-major kernel (ops/wrapped_t.py) holds its whole
+working set - distance field, 5-page dc stack, moving-frame accumulator
+- in VMEM, which caps it at roughly 700k nodes per dispatch (the 5-page
+stack alone is 5*(S*NTT)*ML floats).  The reference never ran past 465k
+nodes (benchmarks/GPU_4_threads_star1_NOreorder.csv), so that ceiling
+never cost parity - but a TPU-native framework should own the regime the
+reference couldn't reach.
+
+This module removes the ceiling with the ops/sweep3d.py recipe applied
+to the 2-D annulus:
+
+* the distance field lives in HBM at its natural (S, ntheta, ML) shape -
+  no sublane-alignment duplicate rows, so the theta wrap is an exact
+  `jnp.roll` and the whole defect-row/merge_dup machinery of the
+  wrapped kernels disappears;
+* ring scan (theta) and chain scan (slot) run at XLA level as pure
+  log-doubling min-plus scans (11-ish roll+add+min steps per direction;
+  XLA tiles them through HBM at memory bandwidth, any size);
+* the BAND SWEEP - the dominant cost, (2*maxdm+1)*5 add+min passes per
+  iteration - is a Pallas kernel with a grid over (source, theta-block):
+  the 5 dc pages are built by exact XLA rolls, padded to a block
+  multiple, and STREAMED block-by-block through VMEM by the BlockSpec
+  pipeline while the weight-row table stays VMEM-resident.  Per-block
+  state is bounded by the block size, not the grid, so any node count
+  compiles in a fixed VMEM budget.
+
+The band sweep is row-local along theta (the dc shift is baked into the
+pre-rolled pages; every in-kernel op is a lane roll or an elementwise
+add/min), so blocking theta is exact - no halos.  Weight tables, frame
+math and the min-plus band closure are shared verbatim with
+ops/wrapped_t.py via `pack_twrapped_stencil`, and the iteration
+structure (ring, chain, band, fan, tolerance-based termination) is
+identical, so the two paths converge to the same fixpoint.
+
+Replaces the CUDA relaxation of reference src/SSSP/bfm_gpu.jl:487-526
+at grid sizes the reference (and the monolithic kernel) could not hold.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import DEFAULT_SOLVER_CONFIG, SolverConfig
+from .circulant import CirculantGraph, _DC_RANGE
+from .diag_circulant import LANES, SUB, _round_up
+from .diag_wrapped import (
+    _extract_cached,
+    _pipelined_chunk_solve,
+    _window_costs,
+)
+from .wrapped_t import NDC, TWStencil, _textract_jit, pack_twrapped_stencil
+
+# theta rows per band-sweep block; the kernel's VMEM need is
+# ~ (2*NDC*TB*ML + R8*ML + 3*TB*ML) * itemsize regardless of grid size
+_BLOCK_CHOICES = (512, 256, 128, 64, 32, 16, 8)
+_BLOCK_VMEM_BUDGET = 64 * 1024 * 1024
+
+
+def _pow_spans(cover: int):
+    """Power-of-two spans (1, 2, 4, ...) whose doubling scan covers every
+    offset in [0, cover): after applying span s to a field covering runs
+    of length < s, coverage extends to < 2s."""
+    spans, s, total = [], 1, 1
+    while total < cover:
+        spans.append(s)
+        total += s
+        s *= 2
+    return tuple(spans) if spans else (1,)
+
+
+class StreamTables(NamedTuple):
+    """Device-side tables of the streamed path (derived from TWStencil).
+
+    cfp/cbp : (L, ML) forward/backward chain window costs for the pure
+              power-of-two doubling spans (the monolithic kernel uses a
+              statics+fixed-span-fori hybrid to bound Mosaic code size;
+              at XLA level log-doubling is strictly fewer passes)
+    """
+
+    wrows: jax.Array
+    ring_f: jax.Array
+    ring_b: jax.Array
+    cfp: jax.Array
+    cbp: jax.Array
+    fan_w: jax.Array
+    chain_spans: Tuple[int, ...]
+
+
+def _stream_tables(ws: TWStencil, dtype) -> StreamTables:
+    key = "stream_tables"
+    if key in ws.dcache:
+        return ws.dcache[key]
+    Mp, ML = ws.Mp, ws.ML
+    # span-1 window cost IS the per-hop chain cost (cfl[0] by
+    # construction in pack_twrapped_stencil)
+    chain_f = np.asarray(ws.cfl[0, 0], dtype=np.float64)
+    chain_b = np.asarray(ws.cbl[0, 0], dtype=np.float64)
+    spans = _pow_spans(Mp)
+    cfp = _window_costs(chain_f, spans)
+    cbp = _window_costs(chain_b[::-1], spans)[:, ::-1]
+    tables = StreamTables(
+        wrows=jnp.asarray(ws.wrows),
+        ring_f=jnp.asarray(ws.ring_f),
+        ring_b=jnp.asarray(ws.ring_b),
+        cfp=jnp.asarray(cfp.astype(dtype)),
+        cbp=jnp.asarray(cbp.astype(dtype)),
+        fan_w=jnp.asarray(ws.fan_w),
+        chain_spans=spans,
+    )
+    ws.dcache[key] = tables
+    return tables
+
+
+def _pick_block(nt: int, ML: int, wrows_rows: int, itemsize: int) -> int:
+    for tb in _BLOCK_CHOICES:
+        need = (2 * NDC * tb * ML + 3 * tb * ML + wrows_rows * ML) * itemsize
+        if need <= _BLOCK_VMEM_BUDGET:
+            return tb
+    return _BLOCK_CHOICES[-1]
+
+
+def _make_band_kernel(ML: int, maxdm: int):
+    n_dm = 2 * maxdm + 1
+
+    def kernel(stack_ref, w_ref, out_ref):
+        # stack_ref: (NDC, 1, TB, ML) pre-rolled dc pages for this
+        # (source, theta-block); w_ref: (R8, ML) moving-frame weight rows
+        cur = stack_ref[_DC_RANGE, 0]
+        # moving-frame accumulator, identical frame math to the
+        # monolithic kernel (ops/wrapped_t.py band_sweep)
+        macc = pltpu.roll(cur, (ML - maxdm - 1) % ML, axis=1)
+
+        def trip(t, macc):
+            macc = pltpu.roll(macc, 1, axis=1)
+            for u5 in range(NDC):
+                w = w_ref[pl.ds(t * NDC + u5, 1), :]
+                macc = jnp.minimum(macc, stack_ref[u5, 0] + w)
+            return macc
+
+        macc = jax.lax.fori_loop(0, n_dm, trip, macc)
+        out_ref[0] = pltpu.roll(macc, (ML - maxdm) % ML, axis=1)
+
+    return kernel
+
+
+def _band_call(stack: jax.Array, wrows: jax.Array, maxdm: int, TB: int,
+               interpret: bool) -> jax.Array:
+    """stack: (NDC, S, NTB, ML) -> (S, NTB, ML) band-swept field."""
+    _, S, NTB, ML = stack.shape
+    NB = NTB // TB
+    kernel = _make_band_kernel(ML, maxdm)
+    return pl.pallas_call(
+        kernel,
+        grid=(S, NB),
+        out_shape=jax.ShapeDtypeStruct((S, NTB, ML), stack.dtype),
+        in_specs=[
+            pl.BlockSpec((NDC, 1, TB, ML), lambda s, b: (0, s, b, 0)),
+            pl.BlockSpec(wrows.shape, lambda s, b: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TB, ML), lambda s, b: (s, b, 0)),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(stack, wrows)
+
+
+class StreamState(NamedTuple):
+    dist: jax.Array           # (S, nt, ML)
+    cen: jax.Array            # (S,)
+    changed: jax.Array
+    it: jax.Array
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Mp", "ML", "nt", "maxdm", "chain_spans", "TB",
+                     "max_iters", "interpret", "S"),
+)
+def _solve_stream_jit(src_m, src_c, src_cen, wrows, rf, rb, cfp, cbp,
+                      fan, tol,
+                      Mp: int, ML: int, nt: int, maxdm: int,
+                      chain_spans: Tuple[int, ...], TB: int,
+                      max_iters: int, interpret: bool, S: int):
+    """Full streamed solve from (S,) source descriptors (device-built
+    initial state, one-sync protocol - same host-boundary discipline as
+    the monolithic kernel)."""
+    dtype = wrows.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+    zero = jnp.zeros((), dtype)
+    NTB = _round_up(nt, TB)
+
+    t_r = jnp.arange(nt, dtype=jnp.int32)[None, :, None]
+    lane = jnp.arange(ML, dtype=jnp.int32)[None, None, :]
+    dist0 = jnp.where((t_r == src_c[:, None, None])
+                      & (lane == src_m[:, None, None])
+                      & (~src_cen[:, None, None]), zero, inf)
+    cen0 = jnp.where(src_cen, zero, inf)
+
+    def ring_scan(v):
+        s = 1
+        while s < nt:
+            v = jnp.minimum(v, jnp.roll(v, s, axis=1) + s * rf)
+            s *= 2
+        s = 1
+        while s < nt:
+            v = jnp.minimum(v, jnp.roll(v, -s, axis=1) + s * rb)
+            s *= 2
+        return v
+
+    def chain_scan(v):
+        # +inf window-boundary costs make lane-wrap reads self-masking
+        for k, s in enumerate(chain_spans):
+            v = jnp.minimum(v, jnp.roll(v, s, axis=2) + cfp[k][None, None])
+        for k, s in enumerate(chain_spans):
+            v = jnp.minimum(v, jnp.roll(v, -s, axis=2) + cbp[k][None, None])
+        return v
+
+    def band(v):
+        # exact theta wrap at XLA level; pad rows are +inf and row-local
+        # kernel ops keep them inert
+        stack = jnp.stack([jnp.roll(v, -dc, axis=1)
+                           for dc in range(-_DC_RANGE, _DC_RANGE + 1)])
+        stack = jnp.pad(stack, ((0, 0), (0, 0), (0, NTB - nt), (0, 0)),
+                        constant_values=np.inf)
+        out = _band_call(stack, wrows, maxdm, TB, interpret)
+        return out[:, :nt, :]
+
+    def iteration(state: StreamState) -> StreamState:
+        v, cen = state.dist, state.cen
+        v = band(chain_scan(ring_scan(v)))
+        cen = jnp.minimum(cen, jnp.min(v + fan[None], axis=(1, 2)))
+        v = jnp.minimum(v, cen[:, None, None] + fan[None])
+        changed = (jnp.any(v < state.dist - tol)
+                   | jnp.any(cen < state.cen - tol))
+        return StreamState(v, cen, changed, state.it + 1)
+
+    def cond(s: StreamState):
+        return s.changed & (s.it < max_iters)
+
+    return jax.lax.while_loop(
+        cond, iteration,
+        StreamState(dist0, cen0, jnp.asarray(True),
+                    jnp.zeros((), jnp.int32)))
+
+
+def solve_circulant_stream(
+    cg: CirculantGraph,
+    sources,
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    interpret: bool = False,
+    band_closure: int = 0,
+    batch: int = 1,
+    receivers=None,
+    _packed: TWStencil = None,
+) -> Tuple[np.ndarray, int]:
+    """Streamed theta-major solve; API mirrors solve_circulant_twrapped
+    (sources chunked, asynchronous dispatch, one sync per call, optional
+    on-device receiver extraction).  Works at any grid size."""
+    dtype = jnp.dtype(config.dtype)
+    ws = _packed if _packed is not None else pack_twrapped_stencil(
+        cg, dtype=dtype, band_closure=band_closure)
+    tb = _stream_tables(ws, dtype)
+    sources = np.atleast_1d(np.asarray(sources, dtype=np.int64))
+    cmap = cg.cmap
+    nt, Mp, ML = ws.nt, ws.Mp, ws.ML
+    S = max(1, min(batch, len(sources)))
+    TB = _pick_block(nt, ML, ws.wrows.shape[0], dtype.itemsize)
+    tol = jnp.asarray(config.tol_value(), dtype)
+
+    n_out, (jm, jc, jcm, jv) = _extract_cached(ws.dcache, cmap, receivers)
+
+    def dispatch(chunk):
+        is_cen = chunk == cmap.center
+        src_m = np.where(is_cen, 0, cmap.m_of[chunk]).astype(np.int32)
+        src_c = np.where(is_cen, 0, cmap.c_of[chunk]).astype(np.int32)
+        st = _solve_stream_jit(
+            src_m, src_c, is_cen, tb.wrows, tb.ring_f, tb.ring_b,
+            tb.cfp, tb.cbp, tb.fan_w, tol,
+            Mp, ML, nt, ws.maxdm, tb.chain_spans, TB,
+            config.max_iters, interpret, S,
+        )
+        cen2d = jnp.broadcast_to(jnp.repeat(st.cen, LANES)[None, :],
+                                 (SUB, S * LANES))
+        return _textract_jit(st.dist.reshape(S * nt, ML), cen2d, st.it,
+                             jm, jc, jcm, jv, S, nt)
+
+    return _pipelined_chunk_solve(sources, S, n_out, dtype, dispatch)

@@ -156,6 +156,23 @@ def _compose_band(dms, dcs, wmat, pad_dm: int, levels: int):
             np.stack(rows))
 
 
+_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def max_twrapped_batch(tw: "TWStencil",
+                       limit_bytes: int = _VMEM_BUDGET) -> int:
+    """Largest source block S whose monolithic kernel fits the scoped
+    VMEM limit.  The kernel materialises the (S*NTT, ML) field, the
+    5-page dc stack plus its pre-concat page temps, the moving-frame
+    accumulator and the output - ~13 field-sized arrays (empirical
+    envelope).  0 means even S=1 does not fit: route to the streamed
+    path (ops/stream_t.py), whose VMEM need is block-bounded."""
+    itemsize = np.dtype(tw.wrows.dtype).itemsize
+    per_source = 13 * tw.NTT * tw.ML * itemsize
+    fixed = tw.wrows.size * itemsize
+    return max(0, int((limit_bytes - fixed) // per_source))
+
+
 def supports_twrapped(cg: CirculantGraph) -> bool:
     """Same wrap condition as the slot-major kernel, on the 8-row cover:
     every defect row needs a defect-free twin."""

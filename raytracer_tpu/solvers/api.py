@@ -30,12 +30,17 @@ class AnnulusSolver:
 
     method:
       'auto'      -> 'twrapped' on TPU (fastest; falls back to 'wrapped'
-                     then 'diag' for unsupported ntheta); 'circulant'
-                     elsewhere (the Pallas kernels' interpret mode is for
-                     tests only)
+                     then 'diag' for unsupported ntheta, and self-routes
+                     to 'stream' when the grid exceeds the monolithic
+                     kernel's VMEM budget); 'circulant' elsewhere (the
+                     Pallas kernels' interpret mode is for tests only)
       'twrapped'  -> theta-major full-iteration Pallas kernel
                      (ops/wrapped_t.py): moving-frame band sweep with
                      min-plus band closure, scans + fan in-kernel
+      'stream'    -> streamed theta-major path (ops/stream_t.py): scans
+                     at XLA level, band sweep as a theta-blocked Pallas
+                     kernel with HBM-streamed pages - no VMEM ceiling;
+                     the >=1M-node fast path
       'wrapped'   -> slot-major full-iteration wrapped-lane Pallas kernel
                      (ops/diag_wrapped.py): scans + band sweep + fan all
                      in-kernel, multiple iterations per dispatch
@@ -81,7 +86,8 @@ class AnnulusSolver:
         self._device_cache: dict = {}
 
         dtype = np.dtype(config.dtype)
-        if method in ("twrapped", "wrapped", "diag", "pallas", "circulant", "fused"):
+        if method in ("twrapped", "stream", "wrapped", "diag", "pallas",
+                      "circulant", "fused"):
             try:
                 if cache_dir is not None:
                     from ..utils.cache import build_circulant_cached
@@ -122,14 +128,42 @@ class AnnulusSolver:
         `batch` bounds the per-dispatch source block of the batched
         kernels (VMEM scales with it)."""
         if self._method == "twrapped":
-            from ..ops.wrapped_t import pack_twrapped_stencil, solve_circulant_twrapped
+            from ..ops.wrapped_t import (
+                max_twrapped_batch,
+                pack_twrapped_stencil,
+                solve_circulant_twrapped,
+            )
 
             if self._twrapped_stencil is None:
                 self._twrapped_stencil = pack_twrapped_stencil(
                     self.circulant, dtype=np.dtype(self.config.dtype),
                     band_closure=self.config.band_closure,
                 )
-            dist, iters = solve_circulant_twrapped(
+            # clamp the source block to what the monolithic kernel's VMEM
+            # holds; a grid too large even at S=1 self-routes to the
+            # streamed path (no ceiling)
+            smax = max_twrapped_batch(self._twrapped_stencil)
+            if smax < 1:
+                self._method = "stream"
+            else:
+                dist, iters = solve_circulant_twrapped(
+                    self.circulant, sources, self.config,
+                    batch=min(batch, smax, len(sources)),
+                    receivers=receivers,
+                    _packed=self._twrapped_stencil
+                )
+                self.last_iterations = iters
+                return dist
+        if self._method == "stream":
+            from ..ops.stream_t import solve_circulant_stream
+            from ..ops.wrapped_t import pack_twrapped_stencil
+
+            if self._twrapped_stencil is None:
+                self._twrapped_stencil = pack_twrapped_stencil(
+                    self.circulant, dtype=np.dtype(self.config.dtype),
+                    band_closure=self.config.band_closure,
+                )
+            dist, iters = solve_circulant_stream(
                 self.circulant, sources, self.config,
                 batch=min(batch, len(sources)), receivers=receivers,
                 _packed=self._twrapped_stencil
@@ -212,10 +246,11 @@ class AnnulusSolver:
         not per chunk).
         """
         receivers = np.asarray(receivers)
-        if self._method in ("twrapped", "wrapped"):
+        if self._method in ("twrapped", "stream", "wrapped"):
             return self._dist_batch([int(s) for s in sources],
                                     receivers=receivers, batch=batch)
-        out = np.empty((len(sources), len(receivers)))
+        out = np.empty((len(sources), len(receivers)),
+                       dtype=np.dtype(self.config.dtype))
         for i in range(0, len(sources), batch):
             chunk = [int(s) for s in sources[i:i + batch]]
             out[i:i + len(chunk)] = self._dist_batch(chunk, receivers=receivers)
