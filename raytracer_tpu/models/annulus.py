@@ -62,9 +62,82 @@ class Grid2D:
     # its own / the previous theta column (used by the circulant layout to
     # disambiguate geometrically coincident twins)
     twin_class: Optional[np.ndarray] = None
+    # flat CSR-style views of e2n / neighbours (single contiguous array +
+    # offsets).  The builders construct these directly and derive the
+    # ragged lists as views; anything built from a raw list computes them
+    # lazily on first use.  The hot host paths (graph build, element
+    # scans) consume the flat form - per-element Python loops over ~1e5
+    # ragged arrays were the dominant mesh-build cost on this 1-core host.
+    e2n_flat: Optional[np.ndarray] = None
+    e2n_off: Optional[np.ndarray] = None
+    nbr_flat: Optional[np.ndarray] = None
+    nbr_off: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
         return self.nnods
+
+    def flat_e2n(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self.e2n_flat is None:
+            self.e2n_flat, self.e2n_off = _ragged_to_flat(self.e2n)
+        return self.e2n_flat, self.e2n_off
+
+    def flat_neighbours(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self.nbr_flat is None:
+            self.nbr_flat, self.nbr_off = _ragged_to_flat(self.neighbours)
+        return self.nbr_flat, self.nbr_off
+
+
+def _ragged_to_flat(lists) -> Tuple[np.ndarray, np.ndarray]:
+    off = np.zeros(len(lists) + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in lists], out=off[1:])
+    flat = (np.ascontiguousarray(np.concatenate(lists), dtype=np.int64)
+            if off[-1] else np.empty(0, np.int64))
+    return flat, off
+
+
+class RaggedView:
+    """Lazy list-of-arrays view over a flat (data, offsets) pair.
+
+    Duck-types as the List[np.ndarray] the ragged e2n/neighbours fields
+    historically were (len, indexing, iteration, slicing) but costs O(1)
+    to construct - np.split at ~1e5 elements costs ~0.3 s on this host
+    and most builds never touch the ragged form at all.
+    """
+
+    __slots__ = ("flat", "off")
+
+    def __init__(self, flat: np.ndarray, off: np.ndarray):
+        self.flat = flat
+        self.off = off
+
+    def __len__(self) -> int:
+        return len(self.off) - 1
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        if i < 0:
+            i += len(self)
+        return self.flat[self.off[i]:self.off[i + 1]]
+
+    def __iter__(self):
+        flat, off = self.flat, self.off
+        for i in range(len(off) - 1):
+            yield flat[off[i]:off[i + 1]]
+
+
+def _flat_to_ragged(flat: np.ndarray, off: np.ndarray) -> RaggedView:
+    """Lazy list-like of views into `flat` (no copies)."""
+    return RaggedView(flat, off)
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] for counts c."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
 
 
 def primary_grid(ntheta: int, nr: int, r_out: float = R) -> Grid2D:
@@ -106,39 +179,53 @@ def primary_grid(ntheta: int, nr: int, r_out: float = R) -> Grid2D:
         axis=1,
     )
 
-    e2n = [quads[i] for i in range(nels)] + [tris[i] for i in range(ntheta)]
+    e2n_flat = np.concatenate([quads.reshape(-1), tris.reshape(-1)])
+    e2n_off = np.concatenate([np.arange(nels + 1, dtype=np.int64) * 4,
+                              4 * nels + 3 * np.arange(1, ntheta + 1,
+                                                       dtype=np.int64)])
+    e2n = _flat_to_ragged(e2n_flat, e2n_off)
     is_quad = np.concatenate([np.ones(nels, bool), np.zeros(ntheta, bool)])
 
-    neighbours = element_neighbours(e2n, nnods_shared=nn)
+    nbr_flat, nbr_off = element_neighbours_flat(e2n_flat, e2n_off,
+                                                nnods_shared=nn)
 
     x, z = polar2cartesian(th_nodes, r_nodes)
     return Grid2D(
         x=x, z=z, theta=th_nodes, r=r_nodes, e2n=e2n,
         ntheta=ntheta, nr=nr_tot, nel=len(e2n), nnods=nn + 1,
-        neighbours=neighbours, is_quad=is_quad,
+        neighbours=_flat_to_ragged(nbr_flat, nbr_off), is_quad=is_quad,
+        e2n_flat=e2n_flat, e2n_off=e2n_off,
+        nbr_flat=nbr_flat, nbr_off=nbr_off,
     )
 
 
-def element_neighbours(e2n: List[np.ndarray], nnods_shared: int) -> List[np.ndarray]:
-    """Elements sharing >=1 node among nodes [0, nnods_shared).
+def element_neighbours_flat(e2n_flat: np.ndarray, e2n_off: np.ndarray,
+                            nnods_shared: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Elements sharing >=1 node among nodes [0, nnods_shared), flat form.
 
     Equivalent of src/GridAnnulus.jl:473-507.  The shared-node range
     excludes the core centre point (see module docstring).
     """
-    rows, cols = [], []
-    for e, nodes in enumerate(e2n):
-        keep = nodes[nodes < nnods_shared]
-        rows.append(np.full(len(keep), e, dtype=np.int64))
-        cols.append(keep)
-    nel = len(e2n)
+    nel = len(e2n_off) - 1
+    sizes = np.diff(e2n_off)
+    rows = np.repeat(np.arange(nel, dtype=np.int64), sizes)
+    keep = e2n_flat < nnods_shared
     inc = sp.csr_matrix(
-        (np.ones(sum(len(rw) for rw in rows), dtype=np.int32), (np.concatenate(rows), np.concatenate(cols))),
+        (np.ones(int(keep.sum()), dtype=np.int32),
+         (rows[keep], e2n_flat[keep])),
         shape=(nel, nnods_shared),
     )
     adj = (inc @ inc.T).tocsr()
     adj.setdiag(0)
     adj.eliminate_zeros()
-    return [adj.indices[adj.indptr[e]:adj.indptr[e + 1]].astype(np.int64) for e in range(nel)]
+    return adj.indices.astype(np.int64), adj.indptr.astype(np.int64)
+
+
+def element_neighbours(e2n: List[np.ndarray], nnods_shared: int) -> List[np.ndarray]:
+    """Ragged-list wrapper around element_neighbours_flat."""
+    flat, off = _ragged_to_flat(e2n)
+    nbr_flat, nbr_off = element_neighbours_flat(flat, off, nnods_shared)
+    return _flat_to_ragged(nbr_flat, nbr_off)
 
 
 # local edge maps (src/GridAnnulus.jl:519-524)
@@ -154,24 +241,40 @@ def edge_connectivity(gr: Grid2D):
     Intended semantics of src/GridAnnulus.jl:515-595 (see module docstring
     for the deviation from its buggy slot bookkeeping).
     """
-    pair_list = []
-    owner = []
-    for e, nodes in enumerate(gr.e2n):
-        local = _QUAD_EDGES if gr.is_quad[e] else _TRI_EDGES
-        pairs = nodes[local]            # (nedge, 2)
-        pair_list.append(np.sort(pairs, axis=1))
-        owner.append(np.full(len(local), e, dtype=np.int64))
-    pairs = np.concatenate(pair_list)   # (sum_edges, 2)
-    owner = np.concatenate(owner)
+    edges, e2el_flat, e2el_off = edge_connectivity_flat(gr)
+    return edges, _flat_to_ragged(e2el_flat, e2el_off)
 
-    edges, inverse = np.unique(pairs, axis=0, return_inverse=True)
+
+def edge_connectivity_flat(gr: Grid2D):
+    """edge_connectivity in flat form: (edges, edge2el_flat, edge2el_off).
+
+    Fully vectorised: primary vertices are the first 4 (quad) / 3 (tri)
+    entries of each element, so the local-edge tables apply to
+    rectangular vertex arrays; edges dedupe through a scalar
+    a*nnods+b key (same lexicographic order as np.unique(pairs, axis=0),
+    so edge ids - and therefore secondary-node numbering - are unchanged).
+    """
+    flat, off = gr.flat_e2n()
+    qidx = np.flatnonzero(gr.is_quad)
+    tidx = np.flatnonzero(~gr.is_quad)
+    V4 = flat[off[qidx][:, None] + np.arange(4)] if len(qidx) else \
+        np.empty((0, 4), np.int64)
+    V3 = flat[off[tidx][:, None] + np.arange(3)] if len(tidx) else \
+        np.empty((0, 3), np.int64)
+    pairs = np.concatenate([V4[:, _QUAD_EDGES].reshape(-1, 2),
+                            V3[:, _TRI_EDGES].reshape(-1, 2)])
+    owner = np.concatenate([np.repeat(qidx, 4), np.repeat(tidx, 3)])
+    pairs.sort(axis=1)
+
+    key = pairs[:, 0] * np.int64(gr.nnods) + pairs[:, 1]
+    ukey, inverse = np.unique(key, return_inverse=True)
+    edges = np.stack([ukey // gr.nnods, ukey % gr.nnods], axis=1)
     order = np.argsort(inverse, kind="stable")
-    inv_sorted = inverse[order]
     owner_sorted = owner[order]
-    starts = np.searchsorted(inv_sorted, np.arange(len(edges)))
-    ends = np.append(starts[1:], len(inv_sorted))
-    edge2el = [owner_sorted[s:e] for s, e in zip(starts, ends)]
-    return edges, edge2el
+    counts = np.bincount(inverse, minlength=len(ukey)).astype(np.int64)
+    e2el_off = np.zeros(len(ukey) + 1, np.int64)
+    np.cumsum(counts, out=e2el_off[1:])
+    return edges, owner_sorted, e2el_off
 
 
 def edge_connectivity_faithful(gr: Grid2D):
@@ -240,8 +343,9 @@ def secondary_nodes(gr: Grid2D, spacing: float = 20.0, faithful: bool = False) -
     """
     if faithful:
         edges, edge2el = edge_connectivity_faithful(gr)
+        e2el_flat, e2el_off = _ragged_to_flat(edge2el)
     else:
-        edges, edge2el = edge_connectivity(gr)
+        edges, e2el_flat, e2el_off = edge_connectivity_flat(gr)
     th, r = gr.theta, gr.r
     icenter = gr.nr * gr.ntheta  # core centre node id
     eps = 2 * np.pi - (1 - 1 / gr.ntheta)  # seam-wrap threshold (ref :621)
@@ -275,25 +379,39 @@ def secondary_nodes(gr: Grid2D, spacing: float = 20.0, faithful: bool = False) -
     r_mid = r1[edge_of] + (r2[edge_of] - r1[edge_of]) * frac
 
     nnods0 = gr.nnods
-    new_ids = nnods0 + np.arange(total)
 
-    # append new nodes to every element sharing their edge
-    e2n = [list(nodes) for nodes in gr.e2n]
-    for eid, els in enumerate(edge2el):
-        lo, hi = offsets[eid], offsets[eid] + npoints[eid]
-        if hi > lo:
-            ids = new_ids[lo:hi]
-            for el in els:
-                e2n[el].extend(ids.tolist())
-    e2n = [np.asarray(nodes, dtype=np.int64) for nodes in e2n]
+    # append new nodes to every element sharing their edge - flat-form
+    # equivalent of the sequential append loop: within an element the
+    # appended ids are edge-ascending (stable sort by element preserves
+    # the edge-major pair order), exactly like the loop produced
+    flat, off = gr.flat_e2n()
+    sz0 = np.diff(off)
+    pair_cnt = np.diff(e2el_off)                 # elements per edge
+    pair_edge = np.repeat(np.arange(len(edges), dtype=np.int64), pair_cnt)
+    add_cnt = npoints[pair_edge]                 # new nodes per (edge, el)
+    rep_el = np.repeat(e2el_flat, add_cnt)
+    add_ids = (nnods0 + np.repeat(offsets[pair_edge], add_cnt)
+               + _ragged_arange(add_cnt))
+    order = np.argsort(rep_el, kind="stable")
+    cnt_el = np.bincount(rep_el, minlength=gr.nel).astype(np.int64)
+    sz_new = sz0 + cnt_el
+    off_new = np.zeros(gr.nel + 1, np.int64)
+    np.cumsum(sz_new, out=off_new[1:])
+    flat_new = np.empty(off_new[-1], dtype=np.int64)
+    flat_new[np.repeat(off_new[:-1], sz0) + _ragged_arange(sz0)] = flat
+    flat_new[np.repeat(off_new[:-1] + sz0, cnt_el)
+             + _ragged_arange(cnt_el)] = add_ids[order]
 
     th_new = np.concatenate([th, th_mid])
     r_new = np.concatenate([r, r_mid])
     x, z = polar2cartesian(th_new, r_new)
     return Grid2D(
-        x=x, z=z, theta=th_new, r=r_new, e2n=e2n,
+        x=x, z=z, theta=th_new, r=r_new,
+        e2n=_flat_to_ragged(flat_new, off_new),
         ntheta=gr.ntheta, nr=gr.nr, nel=gr.nel, nnods=len(x),
         neighbours=gr.neighbours, is_quad=gr.is_quad,
+        e2n_flat=flat_new, e2n_off=off_new,
+        nbr_flat=gr.nbr_flat, nbr_off=gr.nbr_off,
     )
 
 
@@ -303,13 +421,14 @@ def _element_centers(gr: Grid2D) -> np.ndarray:
     Matches src/GridAnnulus.jl:304-311 including the 0.33 (not 1/3)
     triangle factor.
     """
-    centers = np.empty(gr.nel, dtype=np.float64)
-    for e, nodes in enumerate(gr.e2n):
-        if gr.is_quad[e]:
-            centers[e] = gr.r[nodes[:4]].sum() * 0.25
-        else:
-            centers[e] = gr.r[nodes[:3]].sum() * 0.33
-    return centers
+    flat, off = gr.flat_e2n()
+    i0 = off[:-1]
+    r0, r1, r2 = gr.r[flat[i0]], gr.r[flat[i0 + 1]], gr.r[flat[i0 + 2]]
+    # a triangle with no secondary nodes has exactly 3 entries; clamp the
+    # 4th read (its value is masked out below)
+    r3 = gr.r[flat[np.minimum(i0 + 3, len(flat) - 1)]]
+    return np.where(gr.is_quad, (r0 + r1 + r2 + r3) * 0.25,
+                    (r0 + r1 + r2) * 0.33)
 
 
 def find_boundary(center: np.ndarray, rlayer=LAYER_RADII) -> np.ndarray:
@@ -334,9 +453,15 @@ def constrain2layers(gr: Grid2D) -> None:
     the mean radius of the primary vertices.
     """
     layer = find_boundary(_element_centers(gr))
-    for e in range(gr.nel):
-        nbrs = gr.neighbours[e]
-        gr.neighbours[e] = nbrs[layer[nbrs] == layer[e]]
+    nbr_flat, nbr_off = gr.flat_neighbours()
+    el_of = np.repeat(np.arange(gr.nel, dtype=np.int64), np.diff(nbr_off))
+    keep = layer[nbr_flat] == layer[el_of]
+    new_flat = nbr_flat[keep]
+    cnt = np.bincount(el_of[keep], minlength=gr.nel).astype(np.int64)
+    new_off = np.zeros(gr.nel + 1, np.int64)
+    np.cumsum(cnt, out=new_off[1:])
+    gr.nbr_flat, gr.nbr_off = new_flat, new_off
+    gr.neighbours = _flat_to_ragged(new_flat, new_off)
 
 
 def discontinuous_boundaries(gr: Grid2D, spacing: float) -> Tuple[Grid2D, np.ndarray]:
@@ -354,37 +479,33 @@ def discontinuous_boundaries(gr: Grid2D, spacing: float) -> Tuple[Grid2D, np.nda
     nnods = gr.nnods
     dtheta = 2 * np.pi / gr.ntheta
 
-    orig_of_twin: List[int] = []     # original node id per new twin
-    twin_cls: List[int] = []         # 1 = own-column element, 2 = previous
-    counter = nnods
-    for e in range(gr.nel):
-        nodes = gr.e2n[e]
-        if not gr.is_quad[e]:
-            continue
-        top_r = r[nodes[2]]
-        hit = np.nonzero(top_r == rl)[0]
-        if len(hit) == 0:
-            continue
-        boundary_r = rl[hit[0]]
-        on_boundary = r[nodes] == boundary_r
-        n_new = int(on_boundary.sum())
-        if n_new == 0:
-            continue
-        new_ids = np.arange(counter, counter + n_new, dtype=np.int64)
-        origs = nodes[on_boundary]
-        orig_of_twin.extend(origs.tolist())
-        # column owning each twin = column of its theta; the creating
-        # element's column distinguishes left/right twins of corner nodes
-        elem_col = e // (gr.nr - 1)
-        node_col = np.floor(np.mod(gr.theta[origs], 2 * np.pi) / dtheta + 1e-6).astype(int) % gr.ntheta
-        twin_cls.extend(np.where(node_col == elem_col, 1, 2).tolist())
-        replaced = nodes.copy()
-        replaced[on_boundary] = new_ids
-        gr.e2n[e] = replaced
-        counter += n_new
+    # vectorised equivalent of the reference's sequential element scan:
+    # twin ids are assigned in (element, node-position) order, which is
+    # exactly the flat e2n storage order
+    flat, off = gr.flat_e2n()
+    sizes = np.diff(off)
+    top = flat[np.minimum(off[:-1] + 2, len(flat) - 1)]
+    hit = r[top][:, None] == rl[None, :]                 # (nel, 7)
+    eligible = gr.is_quad & hit.any(axis=1)
+    # rl value of the FIRST match, like the loop's hit[0]
+    b_r = np.where(eligible, rl[np.argmax(hit, axis=1)], np.nan)
 
-    idx = np.asarray(orig_of_twin, dtype=np.int64)
+    pos_mask = (r[flat] == np.repeat(b_r, sizes))        # NaN never equal
+    el_of_pos = np.repeat(np.arange(gr.nel, dtype=np.int64), sizes)
+    idx = flat[pos_mask]                                 # originals, in order
     ntw = len(idx)
+
+    flat_new = flat.copy()
+    flat_new[pos_mask] = nnods + np.arange(ntw, dtype=np.int64)
+    gr.e2n_flat, gr.e2n_off = flat_new, off
+    gr.e2n = _flat_to_ragged(flat_new, off)
+
+    # column owning each twin = column of its theta; the creating
+    # element's column distinguishes left/right twins of corner nodes
+    elem_col = el_of_pos[pos_mask] // (gr.nr - 1)
+    node_col = np.floor(np.mod(gr.theta[idx], 2 * np.pi) / dtheta
+                        + 1e-6).astype(np.int64) % gr.ntheta
+    twin_cls = np.where(node_col == elem_col, 1, 2)
     th_twin = gr.theta[idx]
     r_twin = gr.r[idx] - TWIN_OFFSET
     x_twin, z_twin = polar2cartesian(th_twin, r_twin)
@@ -409,6 +530,8 @@ def discontinuous_boundaries(gr: Grid2D, spacing: float) -> Tuple[Grid2D, np.nda
         nnods=nnods + ntw,
         neighbours=gr.neighbours, is_quad=gr.is_quad,
         twin_class=twin_class,
+        e2n_flat=gr.e2n_flat, e2n_off=gr.e2n_off,
+        nbr_flat=gr.nbr_flat, nbr_off=gr.nbr_off,
     )
     return gr2, halo
 
@@ -435,9 +558,12 @@ def node_adjacency(gr: Grid2D, star: int = 1) -> sp.csr_matrix:
     triple product below performs ~100x more work summing duplicate
     contributions); both produce identical matrices (tested).
     """
-    from ..native import node_adjacency_native
+    from ..native import node_adjacency_native_flat
 
-    A = node_adjacency_native(gr.e2n, gr.neighbours, gr.nnods, star)
+    e2n_flat, e2n_off = gr.flat_e2n()
+    nbr_flat, nbr_off = gr.flat_neighbours()
+    A = node_adjacency_native_flat(e2n_flat, e2n_off, nbr_flat, nbr_off,
+                                   gr.nnods, star)
     if A is not None:
         return A
     return _node_adjacency_scipy(gr, star)

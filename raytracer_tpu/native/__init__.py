@@ -46,6 +46,13 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ]
+            lib.node_adjacency_fill32.restype = ctypes.c_int64
+            lib.node_adjacency_fill32.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -56,36 +63,49 @@ def _p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
-def node_adjacency_native(e2n, neighbours, nnods: int, star: int) -> Optional[sp.csr_matrix]:
-    """C++ node adjacency (any star level); None when the toolchain is
-    unavailable (callers fall back to the scipy reference path)."""
+def node_adjacency_native_flat(e2n_flat, e2n_off, nbr_flat, nbr_off,
+                               nnods: int, star: int) -> Optional[sp.csr_matrix]:
+    """C++ node adjacency from flat (CSR-style) element lists; None when
+    the toolchain is unavailable (callers fall back to scipy).  The count
+    pass caches its per-signature-group rows C++-side, so the fill pass
+    is a straight copy."""
     lib = _load()
     if lib is None:
         return None
 
-    nel = len(e2n)
-    e2n_off = np.zeros(nel + 1, dtype=np.int64)
-    np.cumsum([len(x) for x in e2n], out=e2n_off[1:])
-    e2n_flat = np.ascontiguousarray(np.concatenate(e2n), dtype=np.int64)
-    nbr_off = np.zeros(nel + 1, dtype=np.int64)
-    np.cumsum([len(x) for x in neighbours], out=nbr_off[1:])
-    nbr_flat = (
-        np.ascontiguousarray(np.concatenate(neighbours), dtype=np.int64)
-        if nbr_off[-1] else np.zeros(1, dtype=np.int64)
-    )
+    nel = len(e2n_off) - 1
+    e2n_flat = np.ascontiguousarray(e2n_flat, dtype=np.int64)
+    e2n_off = np.ascontiguousarray(e2n_off, dtype=np.int64)
+    nbr_off = np.ascontiguousarray(nbr_off, dtype=np.int64)
+    nbr_flat = (np.ascontiguousarray(nbr_flat, dtype=np.int64)
+                if nbr_off[-1] else np.zeros(1, dtype=np.int64))
 
     indptr = np.zeros(nnods + 1, dtype=np.int64)
     nnz = lib.node_adjacency(
         _p(e2n_flat), _p(e2n_off), _p(nbr_flat), _p(nbr_off),
         nel, nnods, star, _p(indptr), None,
     )
-    indices = np.empty(nnz, dtype=np.int64)
-    lib.node_adjacency(
+    indices = np.empty(nnz, dtype=np.int32)
+    lib.node_adjacency_fill32(
         _p(e2n_flat), _p(e2n_off), _p(nbr_flat), _p(nbr_off),
         nel, nnods, star, _p(indptr),
-        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return sp.csr_matrix(
-        (np.ones(nnz, dtype=bool), indices.astype(np.int32), indptr),
+        (np.ones(nnz, dtype=bool), indices, indptr.astype(np.int32)),
         shape=(nnods, nnods),
     )
+
+
+def node_adjacency_native(e2n, neighbours, nnods: int, star: int) -> Optional[sp.csr_matrix]:
+    """Ragged-list wrapper around node_adjacency_native_flat."""
+    nel = len(e2n)
+    e2n_off = np.zeros(nel + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in e2n], out=e2n_off[1:])
+    e2n_flat = (np.concatenate(e2n) if nel else np.empty(0, np.int64))
+    nbr_off = np.zeros(nel + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in neighbours], out=nbr_off[1:])
+    nbr_flat = (np.concatenate(neighbours) if nbr_off[-1]
+                else np.empty(0, np.int64))
+    return node_adjacency_native_flat(e2n_flat, e2n_off, nbr_flat, nbr_off,
+                                      nnods, star)

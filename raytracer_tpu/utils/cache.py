@@ -27,17 +27,14 @@ def _path(cache_dir: str, ntheta: int, nr: int, spacing: float, star: int) -> st
 def save_annulus(cache_dir: str, ntheta: int, nr: int, spacing: float, star: int,
                  gr: Grid2D, A: sp.csr_matrix, halo: np.ndarray) -> str:
     os.makedirs(cache_dir, exist_ok=True)
-    e2n_off = np.zeros(gr.nel + 1, dtype=np.int64)
-    np.cumsum([len(x) for x in gr.e2n], out=e2n_off[1:])
-    nbr_off = np.zeros(gr.nel + 1, dtype=np.int64)
-    np.cumsum([len(x) for x in gr.neighbours], out=nbr_off[1:])
+    e2n_flat, e2n_off = gr.flat_e2n()
+    nbr_flat, nbr_off = gr.flat_neighbours()
     path = _path(cache_dir, ntheta, nr, spacing, star)
     np.savez(
         path,
         x=gr.x, z=gr.z, theta=gr.theta, r=gr.r,
-        e2n_flat=np.concatenate(gr.e2n), e2n_off=e2n_off,
-        nbr_flat=np.concatenate(gr.neighbours) if gr.nel else np.zeros(0, np.int64),
-        nbr_off=nbr_off,
+        e2n_flat=e2n_flat, e2n_off=e2n_off,
+        nbr_flat=nbr_flat, nbr_off=nbr_off,
         meta=np.array([gr.ntheta, gr.nr, gr.nel, gr.nnods], dtype=np.int64),
         is_quad=gr.is_quad,
         twin_class=gr.twin_class if gr.twin_class is not None else np.zeros(gr.nnods, np.int8),
@@ -58,13 +55,17 @@ def load_annulus(cache_dir: str, ntheta: int, nr: int, spacing: float, star: int
         e2n_flat = f["e2n_flat"]
         nbr_off = f["nbr_off"]
         nbr_flat = f["nbr_flat"]
+        from ..models.annulus import _flat_to_ragged
+
         gr = Grid2D(
             x=f["x"], z=f["z"], theta=f["theta"], r=f["r"],
-            e2n=[e2n_flat[e2n_off[i]:e2n_off[i + 1]] for i in range(nel)],
+            e2n=_flat_to_ragged(e2n_flat, e2n_off),
             ntheta=nt, nr=nrr, nel=nel, nnods=nnods,
-            neighbours=[nbr_flat[nbr_off[i]:nbr_off[i + 1]] for i in range(nel)],
+            neighbours=_flat_to_ragged(nbr_flat, nbr_off),
             is_quad=f["is_quad"],
             twin_class=f["twin_class"],
+            e2n_flat=e2n_flat, e2n_off=e2n_off,
+            nbr_flat=nbr_flat, nbr_off=nbr_off,
         )
         n = nnods
         A = sp.csr_matrix(
