@@ -69,6 +69,13 @@ class SolverConfig:
     # in that kernel; one level costs ~0.3 s of host pack time at 180x63
     # and cuts iterations ~30% (108 -> 76).
     band_closure: int = 1
+    # coarse-to-fine warm-start levels for the streamed theta-major path:
+    # level l solves a theta-coarsened (ntheta / 2**l columns) circulant
+    # first and initialises the finer level with its field (any upper
+    # bound preserves the label-correcting fixpoint, so the result is
+    # unchanged - tested).  Cuts the iteration-vs-size scaling at large
+    # grids; 0 = off.  Levels stop automatically when ntheta goes odd.
+    warm_levels: int = 0
 
     def tol_value(self) -> float:
         if self.tol is not None:

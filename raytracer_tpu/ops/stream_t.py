@@ -26,6 +26,19 @@ to the 2-D annulus:
   state is bounded by the block size, not the grid, so any node count
   compiles in a fixed VMEM budget.
 
+COARSE-TO-FINE WARM START (`warm_levels`): iteration count tracks the
+ray paths' theta-column span (~nt/2 sweeps for far receivers, the
+device-side wall at large grids).  Level l solves a theta-coarsened
+circulant with nt/2**l columns whose edges are min-plus compositions of
+fine hop pairs with even column step (every coarse weight is a real
+fine path cost, see `_coarsen_theta`), then initialises level l-1 with
+its field on the matching column parity.  A label-correcting solver
+accepts any upper-bound initialisation without changing the fixpoint,
+so the result is exact (tested cold == warm); the coarse levels run on
+half/quarter-size fields with doubled column reach, so the total
+iteration count drops from O(nt) toward O(nt/2**L + sum of short
+refinement tails).
+
 The band sweep is row-local along theta (the dc shift is baked into the
 pre-rolled pages; every in-kernel op is a lane roll or an elementwise
 add/min), so blocking theta is exact - no halos.  Weight tables, frame
@@ -51,13 +64,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import DEFAULT_SOLVER_CONFIG, SolverConfig
 from .circulant import CirculantGraph, _DC_RANGE
-from .diag_circulant import LANES, SUB, _round_up
+from .diag_circulant import LANES, SUB, _round_up, decompose_diagonals
 from .diag_wrapped import (
     _extract_cached,
     _pipelined_chunk_solve,
     _window_costs,
 )
-from .wrapped_t import NDC, TWStencil, _textract_jit, pack_twrapped_stencil
+from .wrapped_t import (
+    NDC,
+    TWStencil,
+    _compose_band,
+    _textract_jit,
+    pack_tables_from_decomp,
+    pack_twrapped_stencil,
+)
 
 # theta rows per band-sweep block; the kernel's VMEM need is
 # ~ (2*NDC*TB*ML + R8*ML + 3*TB*ML) * itemsize regardless of grid size
@@ -78,7 +98,7 @@ def _pow_spans(cover: int):
 
 
 class StreamTables(NamedTuple):
-    """Device-side tables of the streamed path (derived from TWStencil).
+    """Device-side tables of one level of the streamed path.
 
     cfp/cbp : (L, ML) forward/backward chain window costs for the pure
               power-of-two doubling spans (the monolithic kernel uses a
@@ -92,10 +112,20 @@ class StreamTables(NamedTuple):
     cfp: jax.Array
     cbp: jax.Array
     fan_w: jax.Array
+
+
+class LevelStatic(NamedTuple):
+    """Hashable per-level static geometry for the jitted solve."""
+
+    Mp: int
+    ML: int
+    nt: int
+    maxdm: int
     chain_spans: Tuple[int, ...]
+    TB: int
 
 
-def _stream_tables(ws: TWStencil, dtype) -> StreamTables:
+def _stream_tables(ws: TWStencil, dtype) -> Tuple[StreamTables, LevelStatic]:
     key = "stream_tables"
     if key in ws.dcache:
         return ws.dcache[key]
@@ -114,10 +144,13 @@ def _stream_tables(ws: TWStencil, dtype) -> StreamTables:
         cfp=jnp.asarray(cfp.astype(dtype)),
         cbp=jnp.asarray(cbp.astype(dtype)),
         fan_w=jnp.asarray(ws.fan_w),
-        chain_spans=spans,
     )
-    ws.dcache[key] = tables
-    return tables
+    static = LevelStatic(
+        Mp=Mp, ML=ML, nt=ws.nt, maxdm=ws.maxdm, chain_spans=spans,
+        TB=_pick_block(ws.nt, ML, ws.wrows.shape[0], np.dtype(dtype).itemsize),
+    )
+    ws.dcache[key] = (tables, static)
+    return tables, static
 
 
 def _pick_block(nt: int, ML: int, wrows_rows: int, itemsize: int) -> int:
@@ -126,6 +159,95 @@ def _pick_block(nt: int, ML: int, wrows_rows: int, itemsize: int) -> int:
         if need <= _BLOCK_VMEM_BUDGET:
             return tb
     return _BLOCK_CHOICES[-1]
+
+
+def _coarsen_theta(dms, dcs, wmat, pad_dm: int):
+    """Theta-coarsen a diagonal decomposition by 2: hops between
+    same-parity columns only - single fine hops with even dc plus every
+    2-hop composition with even total dc, with dc relabelled in coarse
+    column units (fine dc=+-2 -> coarse dc=+-1, composed |dc|<=4 ->
+    coarse |dc|<=2).  Slots are NOT coarsened.  Every output weight is a
+    real fine path cost (w1[m] + w2[m + dm1] walks hop 1 from slot m
+    then hop 2 from its landing slot), so solving the coarse circulant
+    yields exact upper bounds on the fine fixpoint at the matching
+    columns - the warm-start validity condition.
+
+    The composition is offset-invariant (the stencil is circulant), so
+    one coarse stencil serves both even- and odd-parity column sets.
+    """
+    Mp = wmat.shape[1]
+    n_dm = 2 * pad_dm + 1
+    B = np.full((n_dm, NDC, Mp), np.inf)
+    for d in range(len(dms)):
+        i, j = int(dms[d]) + pad_dm, int(dcs[d]) + _DC_RANGE
+        B[i, j] = np.minimum(B[i, j], wmat[d])
+
+    NDC4 = 2 * 2 * _DC_RANGE + 1                 # |dc_total| <= 4, fine units
+    out = np.full((n_dm, NDC4, Mp), np.inf)
+    for dc in range(-_DC_RANGE, _DC_RANGE + 1):  # single even-dc hops
+        if dc % 2 == 0:
+            out[:, dc + 2 * _DC_RANGE, :] = B[:, dc + _DC_RANGE, :]
+
+    for i1 in range(n_dm):
+        dm1 = i1 - pad_dm
+        blk1 = B[i1]
+        if not np.isfinite(blk1).any():
+            continue
+        # hop-2 weights read at hop 1's landing slot: m -> m + dm1
+        sh = np.full_like(B, np.inf)
+        if dm1 >= 0:
+            sh[:, :, : Mp - dm1] = B[:, :, dm1:]
+        else:
+            sh[:, :, -dm1:] = B[:, :, : Mp + dm1]
+        for j1 in range(NDC):
+            w1 = blk1[j1]
+            if not np.isfinite(w1).any():
+                continue
+            dc1 = j1 - _DC_RANGE
+            i2 = slice(max(0, -dm1), min(n_dm, n_dm - dm1))
+            cand = w1[None, None, :] + sh[i2, :]
+            tgt = out[i2.start + dm1: i2.stop + dm1,
+                      dc1 - _DC_RANGE + 2 * _DC_RANGE:
+                      dc1 + _DC_RANGE + 2 * _DC_RANGE + 1]
+            np.minimum(tgt, cand, out=tgt)
+
+    dms2, dcs2, rows = [], [], []
+    for i in range(n_dm):
+        for jt in range(0, NDC4, 2):             # even fine dc totals
+            if i == pad_dm and jt == 2 * _DC_RANGE:
+                continue                         # identity slot
+            if np.isfinite(out[i, jt]).any():
+                dms2.append(i - pad_dm)
+                dcs2.append(jt // 2 - _DC_RANGE)  # coarse dc units
+                rows.append(out[i, jt])
+    return (np.asarray(dms2, np.asarray(dms).dtype),
+            np.asarray(dcs2, np.asarray(dcs).dtype), np.stack(rows))
+
+
+def _warm_stencils(ws: TWStencil, cg: CirculantGraph, dtype,
+                   band_closure: int, levels: int):
+    """Coarse-level stencils 1..L (level l has nt / 2**l columns), cached
+    in the fine stencil's dcache.  Stops early when nt goes odd or the
+    coarse ring would be trivially small."""
+    key = ("warm", int(band_closure), int(levels))
+    if key in ws.dcache:
+        return ws.dcache[key]
+    dec = decompose_diagonals(cg)
+    dms, dcs, wmat = dec.dms, dec.dcs, dec.wmat.copy()
+    if band_closure:
+        dms, dcs, wmat = _compose_band(dms, dcs, wmat, dec.pad, band_closure)
+    out = []
+    nt = dec.nt
+    for _ in range(levels):
+        if nt % 2 or nt // 2 < 8:
+            break
+        dms, dcs, wmat = _coarsen_theta(dms, dcs, wmat, dec.pad)
+        nt //= 2
+        out.append(pack_tables_from_decomp(
+            dms, dcs, wmat, dec.Mp, nt, dec.M,
+            cg.fan_slots, cg.fan_w, dtype))
+    ws.dcache[key] = out
+    return out
 
 
 def _make_band_kernel(ML: int, maxdm: int):
@@ -181,30 +303,13 @@ class StreamState(NamedTuple):
     it: jax.Array
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("Mp", "ML", "nt", "maxdm", "chain_spans", "TB",
-                     "max_iters", "interpret", "S"),
-)
-def _solve_stream_jit(src_m, src_c, src_cen, wrows, rf, rb, cfp, cbp,
-                      fan, tol,
-                      Mp: int, ML: int, nt: int, maxdm: int,
-                      chain_spans: Tuple[int, ...], TB: int,
-                      max_iters: int, interpret: bool, S: int):
-    """Full streamed solve from (S,) source descriptors (device-built
-    initial state, one-sync protocol - same host-boundary discipline as
-    the monolithic kernel)."""
-    dtype = wrows.dtype
-    inf = jnp.asarray(jnp.inf, dtype)
-    zero = jnp.zeros((), dtype)
+def _run_level(dist0, cen0, it0, tbl: StreamTables, st: LevelStatic,
+               tol, max_iters: int, interpret: bool) -> StreamState:
+    """One level's while_loop from an explicit initial field (trace-time
+    helper shared by the cold and warm solve paths)."""
+    Mp, ML, nt, maxdm, chain_spans, TB = st
+    wrows, rf, rb, cfp, cbp, fan = tbl
     NTB = _round_up(nt, TB)
-
-    t_r = jnp.arange(nt, dtype=jnp.int32)[None, :, None]
-    lane = jnp.arange(ML, dtype=jnp.int32)[None, None, :]
-    dist0 = jnp.where((t_r == src_c[:, None, None])
-                      & (lane == src_m[:, None, None])
-                      & (~src_cen[:, None, None]), zero, inf)
-    cen0 = jnp.where(src_cen, zero, inf)
 
     def ring_scan(v):
         s = 1
@@ -248,9 +353,58 @@ def _solve_stream_jit(src_m, src_c, src_cen, wrows, rf, rb, cfp, cbp,
         return s.changed & (s.it < max_iters)
 
     return jax.lax.while_loop(
-        cond, iteration,
-        StreamState(dist0, cen0, jnp.asarray(True),
-                    jnp.zeros((), jnp.int32)))
+        cond, iteration, StreamState(dist0, cen0, jnp.asarray(True), it0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("statics", "max_iters", "interpret", "S"),
+)
+def _solve_stream_jit(src_m, src_c, src_cen, tbls, tol,
+                      statics: Tuple[LevelStatic, ...],
+                      max_iters: int, interpret: bool, S: int):
+    """Multi-level streamed solve from (S,) source descriptors.
+
+    tbls/statics: level 0 = finest, last = coarsest (len 1 = cold solve).
+    The initial state is device-built from tiny descriptors and the whole
+    coarse-to-fine chain runs in ONE dispatch - same one-sync host
+    boundary discipline as the monolithic kernel.
+    """
+    dtype = tbls[0][0].dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+    zero = jnp.zeros((), dtype)
+    L = len(statics) - 1
+
+    # source column / parity chain down the levels: a coarse column j at
+    # level l+1 is fine column 2*j + par_l at level l (the circulant
+    # stencil is offset-invariant, so odd-parity sources coarsen onto
+    # the odd column set with the same tables)
+    cols = [src_c]
+    pars = []
+    for _ in range(L):
+        pars.append(cols[-1] % 2)
+        cols.append(cols[-1] // 2)
+
+    ntL, MLL = statics[L].nt, statics[L].ML
+    t_r = jnp.arange(ntL, dtype=jnp.int32)[None, :, None]
+    lane = jnp.arange(MLL, dtype=jnp.int32)[None, None, :]
+    dist0 = jnp.where((t_r == cols[L][:, None, None])
+                      & (lane == src_m[:, None, None])
+                      & (~src_cen[:, None, None]), zero, inf)
+    cen0 = jnp.where(src_cen, zero, inf)
+
+    st = _run_level(dist0, cen0, jnp.zeros((), jnp.int32),
+                    tbls[L], statics[L], tol, max_iters, interpret)
+    for l in range(L - 1, -1, -1):
+        Mp, MLl, ntl = statics[l].Mp, statics[l].ML, statics[l].nt
+        up = st.dist[:, jnp.arange(ntl, dtype=jnp.int32) // 2, :Mp]
+        up = jnp.pad(up, ((0, 0), (0, 0), (0, MLl - Mp)),
+                     constant_values=np.inf)
+        col = jnp.arange(ntl, dtype=jnp.int32)[None, :, None]
+        fine0 = jnp.where(col % 2 == pars[l][:, None, None], up, inf)
+        st = _run_level(fine0, st.cen, st.it, tbls[l], statics[l],
+                        tol, max_iters, interpret)
+    return st
 
 
 def solve_circulant_stream(
@@ -259,34 +413,42 @@ def solve_circulant_stream(
     config: SolverConfig = DEFAULT_SOLVER_CONFIG,
     interpret: bool = False,
     band_closure: int = 0,
+    warm_levels: int = None,
     batch: int = 1,
     receivers=None,
     _packed: TWStencil = None,
 ) -> Tuple[np.ndarray, int]:
     """Streamed theta-major solve; API mirrors solve_circulant_twrapped
     (sources chunked, asynchronous dispatch, one sync per call, optional
-    on-device receiver extraction).  Works at any grid size."""
+    on-device receiver extraction).  Works at any grid size.
+
+    warm_levels > 0 runs the coarse-to-fine chain (exact; see module
+    docstring); None takes config.warm_levels.
+    """
     dtype = jnp.dtype(config.dtype)
     ws = _packed if _packed is not None else pack_twrapped_stencil(
         cg, dtype=dtype, band_closure=band_closure)
-    tb = _stream_tables(ws, dtype)
+    if warm_levels is None:
+        warm_levels = config.warm_levels
     sources = np.atleast_1d(np.asarray(sources, dtype=np.int64))
     cmap = cg.cmap
-    nt, Mp, ML = ws.nt, ws.Mp, ws.ML
     S = max(1, min(batch, len(sources)))
-    TB = _pick_block(nt, ML, ws.wrows.shape[0], dtype.itemsize)
     tol = jnp.asarray(config.tol_value(), dtype)
 
+    levels = [ws]
+    if warm_levels:
+        levels += _warm_stencils(ws, cg, dtype, band_closure, warm_levels)
+    tbls, statics = zip(*(_stream_tables(w, dtype) for w in levels))
+
     n_out, (jm, jc, jcm, jv) = _extract_cached(ws.dcache, cmap, receivers)
+    nt, ML = ws.nt, ws.ML
 
     def dispatch(chunk):
         is_cen = chunk == cmap.center
         src_m = np.where(is_cen, 0, cmap.m_of[chunk]).astype(np.int32)
         src_c = np.where(is_cen, 0, cmap.c_of[chunk]).astype(np.int32)
         st = _solve_stream_jit(
-            src_m, src_c, is_cen, tb.wrows, tb.ring_f, tb.ring_b,
-            tb.cfp, tb.cbp, tb.fan_w, tol,
-            Mp, ML, nt, ws.maxdm, tb.chain_spans, TB,
+            src_m, src_c, is_cen, tuple(tbls), tol, tuple(statics),
             config.max_iters, interpret, S,
         )
         cen2d = jnp.broadcast_to(jnp.repeat(st.cen, LANES)[None, :],

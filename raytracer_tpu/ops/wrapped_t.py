@@ -187,12 +187,21 @@ def pack_twrapped_stencil(cg: CirculantGraph, dtype=np.float32,
                           band_closure: int = 0) -> TWStencil:
     dec = decompose_diagonals(cg)
     dms, dcs, wmat = dec.dms, dec.dcs, dec.wmat.copy()
-    Mp, nt = dec.Mp, dec.nt
     if vertical_closure:
         dms, dcs, wmat = _compose_vertical(dms, dcs, wmat, dec.pad,
                                            vertical_closure)
     if band_closure:
         dms, dcs, wmat = _compose_band(dms, dcs, wmat, dec.pad, band_closure)
+    return pack_tables_from_decomp(dms, dcs, wmat, dec.Mp, dec.nt, dec.M,
+                                   cg.fan_slots, cg.fan_w, dtype)
+
+
+def pack_tables_from_decomp(dms, dcs, wmat, Mp: int, nt: int, M: int,
+                            fan_slots, fan_w, dtype=np.float32) -> TWStencil:
+    """Pack kernel tables from an explicit (dms, dcs, wmat) diagonal
+    decomposition - the tail of pack_twrapped_stencil, split out so the
+    streamed path's theta-coarsened warm-start stencils (which synthesise
+    their own decompositions) share the exact same packing code."""
     NTT = _round_up(nt, SUB)
     maxdm = int(np.max(np.abs(dms)))
     ML = _round_up(Mp + maxdm + 1, LANES)
@@ -228,16 +237,16 @@ def pack_twrapped_stencil(cg: CirculantGraph, dtype=np.float32,
     cfl = _window_costs(chain_f, spans)[:, None, :]
     cbl = _window_costs(chain_b[::-1], spans)[:, ::-1][:, None, :]
 
-    fan_w = np.full((1, ML), np.inf)
-    fan_w[0, cg.fan_slots] = cg.fan_w
+    fan_row = np.full((1, ML), np.inf)
+    fan_row[0, fan_slots] = fan_w
 
     return TWStencil(
         wrows=wrows.astype(dtype),
         ring_f=_diag_vec(0, -1)[None, :].astype(dtype),
         ring_b=_diag_vec(0, +1)[None, :].astype(dtype),
         cfl=cfl.astype(dtype), cbl=cbl.astype(dtype),
-        fan_w=fan_w.astype(dtype),
-        maxdm=maxdm, Mp=Mp, ML=ML, M=dec.M, nt=nt, NTT=NTT,
+        fan_w=fan_row.astype(dtype),
+        maxdm=maxdm, Mp=Mp, ML=ML, M=M, nt=nt, NTT=NTT,
         dcache={},
     )
 

@@ -165,6 +165,7 @@ class AnnulusSolver:
                 )
             dist, iters = solve_circulant_stream(
                 self.circulant, sources, self.config,
+                band_closure=self.config.band_closure,
                 batch=min(batch, len(sources)), receivers=receivers,
                 _packed=self._twrapped_stencil
             )

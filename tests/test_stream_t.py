@@ -139,6 +139,90 @@ def test_stream_same_fixpoint_as_twrapped_packed_stencil():
     np.testing.assert_allclose(d_s[0][ok], d_t[0][ok], rtol=1e-6, atol=5e-3)
 
 
+@pytest.mark.parametrize("levels", [1, 2])
+def test_stream_warm_start_exact(levels):
+    # coarse-to-fine init must not change the fixpoint (label-correcting
+    # solvers accept any upper-bound initialisation)
+    gr, cg = _setup(16, 4, 400.0)
+    src = rt.closest_point(gr, np.deg2rad(70.0), R, system="polar")
+    d_cold, _ = solve_circulant_stream(cg, [src], F32, interpret=True)
+    d_warm, _ = solve_circulant_stream(cg, [src], F32, interpret=True,
+                                       warm_levels=levels)
+    ok = np.isfinite(d_cold[0])
+    np.testing.assert_array_equal(np.isfinite(d_warm[0]), ok)
+    np.testing.assert_allclose(d_warm[0][ok], d_cold[0][ok],
+                               rtol=1e-6, atol=5e-3)
+
+
+def test_stream_warm_start_odd_source_columns_and_center():
+    # odd-parity source columns coarsen onto the odd column set (the
+    # circulant stencil is offset-invariant); centre sources seed via cen
+    gr, cg = _setup(20, 4, 400.0)
+    degs = (9.0, 27.0, 45.0, 63.0, 81.0)   # mix of column parities
+    srcs = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+            for d in degs]
+    srcs.append(cg.cmap.center)
+    d_cold, _ = solve_circulant_stream(cg, srcs, F32, interpret=True,
+                                       batch=3)
+    d_warm, _ = solve_circulant_stream(cg, srcs, F32, interpret=True,
+                                       batch=3, warm_levels=1)
+    for i in range(len(srcs)):
+        ok = np.isfinite(d_cold[i])
+        np.testing.assert_allclose(d_warm[i][ok], d_cold[i][ok],
+                                   rtol=1e-6, atol=5e-3)
+
+
+def test_stream_warm_start_with_band_closure():
+    gr, cg = _setup(16, 6, 200.0)
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    from raytracer_tpu.ops.circulant import solve_circulant as _sc
+
+    d_ref, _ = _sc(cg, src, F32)
+    d_w, _ = solve_circulant_stream(cg, [src], F32, interpret=True,
+                                    band_closure=1, warm_levels=2)
+    ok = np.isfinite(d_ref)
+    np.testing.assert_allclose(d_w[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3)
+
+
+def test_stream_warm_levels_stop_at_odd_nt():
+    # nt=9: no coarsening possible; warm_levels must degrade gracefully
+    gr, cg = _setup(9, 3, 500.0)
+    src = rt.closest_point(gr, np.deg2rad(40.0), R, system="polar")
+    d_cold, _ = solve_circulant_stream(cg, [src], F32, interpret=True)
+    d_warm, _ = solve_circulant_stream(cg, [src], F32, interpret=True,
+                                       warm_levels=3)
+    ok = np.isfinite(d_cold[0])
+    np.testing.assert_allclose(d_warm[0][ok], d_cold[0][ok],
+                               rtol=1e-6, atol=5e-3)
+
+
+def test_coarsen_theta_weights_are_real_path_costs():
+    # spot-check the composition rule on a hand-built 2-diagonal stencil
+    from raytracer_tpu.ops.stream_t import _coarsen_theta
+
+    Mp = 4
+    dms = np.array([0, 1])
+    dcs = np.array([1, -1])
+    w0 = np.array([1.0, 2.0, 3.0, 4.0])
+    w1 = np.array([10.0, 20.0, 30.0, np.inf])
+    dms2, dcs2, rows = _coarsen_theta(dms, dcs, np.stack([w0, w1]), pad_dm=2)
+    # pair (0,+1)+(0,+1): dm=0, fine dc=2 -> coarse dc=1, w[m] = w0[m]*2
+    i = [k for k in range(len(dms2)) if dms2[k] == 0 and dcs2[k] == 1]
+    assert len(i) == 1
+    np.testing.assert_allclose(rows[i[0]], w0 + w0)
+    # pair (1,-1)+(1,-1): dm=2, fine dc=-2 -> coarse -1, w[m]=w1[m]+w1[m+1]
+    j = [k for k in range(len(dms2)) if dms2[k] == 2 and dcs2[k] == -1]
+    assert len(j) == 1
+    np.testing.assert_allclose(rows[j[0]][:2], w1[:2] + w1[1:3])
+    assert np.isinf(rows[j[0]][2:]).all()
+    # cross pair (0,+1)+(1,-1) and (1,-1)+(0,+1): dm=1, dc=0 -> coarse 0
+    k = [k for k in range(len(dms2)) if dms2[k] == 1 and dcs2[k] == 0]
+    assert len(k) == 1
+    np.testing.assert_allclose(rows[k[0]][:3],
+                               np.minimum(w0[:3] + w1[:3],
+                                          w1[:3] + w0[1:4]))
+
+
 def test_pick_block_bounded():
     # block choice obeys the VMEM budget at production-scale dims
     for nt, ML in ((180, 896), (1440, 1408), (2880, 2944)):
