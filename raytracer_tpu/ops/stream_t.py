@@ -304,12 +304,29 @@ class StreamState(NamedTuple):
 
 
 def _run_level(dist0, cen0, it0, tbl: StreamTables, st: LevelStatic,
-               tol, max_iters: int, interpret: bool) -> StreamState:
+               tol, max_iters: int, interpret: bool,
+               sel=None, halo_map=None) -> StreamState:
     """One level's while_loop from an explicit initial field (trace-time
-    helper shared by the cold and warm solve paths)."""
+    helper shared by the cold, warm and staged solve paths).
+
+    `sel` (optional (1, 1, ML) bool): slots allowed to UPDATE - the
+    dense-field equivalent of the reference's level-masked frontier
+    (src/SSSP/bfm_new_ms.jl:152-168): masked slots keep their value but
+    remain readable by in-level relaxations, so the select is applied
+    after every sub-stage (a later stage must read the masked slot's OLD
+    value, not a discarded candidate).  Multi-hop scan compositions
+    respect the mask through their cost tables: the chain window costs
+    are built destination-masked (see `masked_stream_tables`), which
+    under window doubling forbids out-of-level INTERMEDIATE slots while
+    still allowing the first hop to read an out-of-level source - the
+    exact pull semantics of the reference's masked relaxation.
+    """
     Mp, ML, nt, maxdm, chain_spans, TB = st
     wrows, rf, rb, cfp, cbp, fan = tbl
     NTB = _round_up(nt, TB)
+
+    def gate(v_new, v_old):
+        return v_new if sel is None else jnp.where(sel, v_new, v_old)
 
     def ring_scan(v):
         s = 1
@@ -342,9 +359,23 @@ def _run_level(dist0, cen0, it0, tbl: StreamTables, st: LevelStatic,
 
     def iteration(state: StreamState) -> StreamState:
         v, cen = state.dist, state.cen
-        v = band(chain_scan(ring_scan(v)))
+        v = gate(ring_scan(v), v)
+        v = gate(chain_scan(v), v)
+        v = gate(band(v), v)
+        if halo_map is not None:
+            # the reference's twin min-merge runs UNMASKED every
+            # iteration (src/SSSP/bfm.jl:54-62 has no level gate), so
+            # out-of-level twins still receive their partner's value -
+            # a per-slot lane permutation + min, exempt from `sel`.
+            # Like the reference it fires only while the partner is
+            # actively improving (dist[s] < dist0[s]), so stale values
+            # don't spill across a stage reset.
+            pv = v[:, :, halo_map]
+            improved = pv < state.dist[:, :, halo_map]
+            v = jnp.minimum(v, jnp.where(improved, pv,
+                                         jnp.asarray(jnp.inf, v.dtype)))
         cen = jnp.minimum(cen, jnp.min(v + fan[None], axis=(1, 2)))
-        v = jnp.minimum(v, cen[:, None, None] + fan[None])
+        v = gate(jnp.minimum(v, cen[:, None, None] + fan[None]), v)
         changed = (jnp.any(v < state.dist - tol)
                    | jnp.any(cen < state.cen - tol))
         return StreamState(v, cen, changed, state.it + 1)
@@ -354,6 +385,169 @@ def _run_level(dist0, cen0, it0, tbl: StreamTables, st: LevelStatic,
 
     return jax.lax.while_loop(
         cond, iteration, StreamState(dist0, cen0, jnp.asarray(True), it0))
+
+
+def masked_stream_tables(ws: TWStencil, slot_mask: np.ndarray,
+                         cen_on: bool, dtype) -> StreamTables:
+    """Per-stage tables for a level-masked solve (the ms/multiphase
+    family).  slot_mask: (Mp,) bool - slots whose nodes belong to the
+    stage's active partition level (level labels depend only on radius,
+    and radius is constant along a slot, so the node-level mask IS a
+    per-slot lane mask - the structural fact that puts the reference's
+    layer sweeps on the circulant fast path).
+
+    Chain window costs are rebuilt from the destination-masked per-hop
+    cost: window doubling then forbids out-of-level intermediates while
+    the first hop may still read an out-of-level source (reference pull
+    semantics).  The fan row goes all-+inf when the centre is outside
+    the level.  Ring and band tables are shared with the parent stencil
+    (their candidates are destination-gated in `_run_level`).
+
+    NOTE: the parent stencil must be packed with band_closure=0 - closed
+    band entries are 2-hop compositions whose intermediate slot is not
+    mask-checked.
+    """
+    Mp, ML = ws.Mp, ws.ML
+    lane_mask = np.zeros(ML, dtype=bool)
+    lane_mask[:Mp] = slot_mask[:Mp]
+    chain_f = np.where(lane_mask, np.asarray(ws.cfl[0, 0], np.float64),
+                       np.inf)
+    chain_b = np.where(lane_mask, np.asarray(ws.cbl[0, 0], np.float64),
+                       np.inf)
+    spans = _pow_spans(Mp)
+    cfp = _window_costs(chain_f, spans)
+    cbp = _window_costs(chain_b[::-1], spans)[:, ::-1]
+    fan = ws.fan_w if cen_on else np.full_like(ws.fan_w, np.inf)
+    return StreamTables(
+        wrows=jnp.asarray(ws.wrows),
+        ring_f=jnp.asarray(ws.ring_f),
+        ring_b=jnp.asarray(ws.ring_b),
+        cfp=jnp.asarray(cfp.astype(dtype)),
+        cbp=jnp.asarray(cbp.astype(dtype)),
+        fan_w=jnp.asarray(fan),
+    )
+
+
+class StageSpec(NamedTuple):
+    """One stage of a staged (multi-level) solve.
+
+    tables    : stage tables (typically from masked_stream_tables; may
+                carry stage-specific weights, e.g. multiphase boundary
+                velocity swaps)
+    static    : LevelStatic (same nt/Mp/ML across stages)
+    sel_mask  : (ML,) bool host array - slots allowed to update
+    reset_keep: None, or (ML,) bool host array: before the stage, slots
+                NOT in it reset to +inf (the ms boundary restart)
+    cen_keep  : centre value survives the reset
+    """
+
+    tables: StreamTables
+    static: LevelStatic
+    sel_mask: np.ndarray
+    reset_keep: object = None
+    cen_keep: bool = True
+    # (ML,) int32 partner-slot permutation for the unmasked twin
+    # min-merge (halo_map[m] = m where no twin); None = no halo
+    halo_map: object = None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("statics", "resets", "cen_keeps", "halos",
+                     "max_iters", "interpret", "S"),
+)
+def _solve_stream_staged_jit(src_m, src_c, src_cen, stage_tbls, sels,
+                             reset_keeps, halo_maps, tol,
+                             statics: Tuple[LevelStatic, ...],
+                             resets: Tuple[bool, ...],
+                             cen_keeps: Tuple[bool, ...],
+                             halos: Tuple[bool, ...],
+                             max_iters: int, interpret: bool, S: int):
+    """Sequential level-masked stages in ONE dispatch (one tunnel sync).
+
+    stage_tbls/sels/reset_keeps are per-stage pytrees; statics/resets/
+    cen_keeps are the matching static tuples.
+    """
+    dtype = stage_tbls[0][0].dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+    zero = jnp.zeros((), dtype)
+    nt, ML = statics[0].nt, statics[0].ML
+
+    t_r = jnp.arange(nt, dtype=jnp.int32)[None, :, None]
+    lane = jnp.arange(ML, dtype=jnp.int32)[None, None, :]
+    dist0 = jnp.where((t_r == src_c[:, None, None])
+                      & (lane == src_m[:, None, None])
+                      & (~src_cen[:, None, None]), zero, inf)
+    cen0 = jnp.where(src_cen, zero, inf)
+
+    st = StreamState(dist0, cen0, jnp.asarray(True),
+                     jnp.zeros((), jnp.int32))
+    for i in range(len(statics)):
+        dist, cen = st.dist, st.cen
+        if resets[i]:
+            dist = jnp.where(reset_keeps[i][None, None, :], dist, inf)
+            if not cen_keeps[i]:
+                cen = jnp.full_like(cen, jnp.inf)
+        st = _run_level(dist, cen, st.it, stage_tbls[i], statics[i],
+                        tol, max_iters, interpret,
+                        sel=sels[i][None, None, :],
+                        halo_map=halo_maps[i] if halos[i] else None)
+    return st
+
+
+def solve_stream_staged(
+    cg: CirculantGraph,
+    ws_stages,
+    stages,
+    sources,
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    interpret: bool = False,
+    batch: int = 1,
+    receivers=None,
+) -> Tuple[np.ndarray, int]:
+    """Run StageSpec stages sequentially (the circulant fast path of the
+    reference's bfm_ms / bfm_multiphase layer sweeps).  `ws_stages` is
+    the stencil whose dcache holds extraction arrays (stage 0's)."""
+    dtype = jnp.dtype(config.dtype)
+    sources = np.atleast_1d(np.asarray(sources, dtype=np.int64))
+    cmap = cg.cmap
+    S = max(1, min(batch, len(sources)))
+    tol = jnp.asarray(config.tol_value(), dtype)
+    nt, ML = stages[0].static.nt, stages[0].static.ML
+
+    stage_tbls = tuple(sp.tables for sp in stages)
+    statics = tuple(sp.static for sp in stages)
+    sels = tuple(jnp.asarray(sp.sel_mask) for sp in stages)
+    resets = tuple(sp.reset_keep is not None for sp in stages)
+    reset_keeps = tuple(
+        jnp.asarray(sp.reset_keep if sp.reset_keep is not None
+                    else np.ones(ML, dtype=bool))
+        for sp in stages)
+    cen_keeps = tuple(bool(sp.cen_keep) for sp in stages)
+    halos = tuple(sp.halo_map is not None for sp in stages)
+    halo_maps = tuple(
+        jnp.asarray(sp.halo_map if sp.halo_map is not None
+                    else np.arange(ML, dtype=np.int32))
+        for sp in stages)
+
+    n_out, (jm, jc, jcm, jv) = _extract_cached(ws_stages.dcache, cmap,
+                                               receivers)
+
+    def dispatch(chunk):
+        is_cen = chunk == cmap.center
+        src_m = np.where(is_cen, 0, cmap.m_of[chunk]).astype(np.int32)
+        src_c = np.where(is_cen, 0, cmap.c_of[chunk]).astype(np.int32)
+        st = _solve_stream_staged_jit(
+            src_m, src_c, is_cen, stage_tbls, sels, reset_keeps,
+            halo_maps, tol, statics, resets, cen_keeps, halos,
+            config.max_iters, interpret, S,
+        )
+        cen2d = jnp.broadcast_to(jnp.repeat(st.cen, LANES)[None, :],
+                                 (SUB, S * LANES))
+        return _textract_jit(st.dist.reshape(S * nt, ML), cen2d, st.it,
+                             jm, jc, jcm, jv, S, nt)
+
+    return _pipelined_chunk_solve(sources, S, n_out, dtype, dispatch)
 
 
 @functools.partial(

@@ -90,6 +90,85 @@ def _boundary_nodes(gr, partition: GridPartition) -> Dict[str, np.ndarray]:
     }
 
 
+def _lane_mask_of(cg, ws, node_mask: np.ndarray) -> np.ndarray:
+    """(ML,) lane mask from a per-node mask: partition labels depend only
+    on radius and radius is constant along a slot, so any column's node
+    represents its slot."""
+    rep = cg.cmap.node_of[:, 0]                      # (M,)
+    lm = np.zeros(ws.ML, dtype=bool)
+    lm[: cg.cmap.M] = node_mask[rep]
+    return lm
+
+
+def _halo_slot_map(cg, ws, halo: np.ndarray) -> Optional[np.ndarray]:
+    """(ML,) partner-slot permutation of the halo twin table (identity
+    where no twin).  Twins share their original's theta column, so the
+    node-level halo collapses to one slot permutation."""
+    if halo is None or len(halo) == 0:
+        return None
+    hm = np.arange(ws.ML, dtype=np.int32)
+    m_dst = cg.cmap.m_of[halo[:, 1]]
+    m_src = cg.cmap.m_of[halo[:, 0]]
+    hm[m_dst] = m_src
+    return hm
+
+
+def _ms_stages(cg, ws, static, halo, partition, levels, dtype):
+    """StageSpec list for the bfm_ms level sequence."""
+    from ..ops.stream_t import StageSpec, masked_stream_tables
+
+    halo_map = _halo_slot_map(cg, ws, halo)
+    stages = []
+    for li, level in enumerate(levels):
+        nmask = level_mask(partition, level)
+        lane = _lane_mask_of(cg, ws, nmask)
+        cen_on = cg.cmap.center >= 0 and bool(nmask[cg.cmap.center])
+        tables = masked_stream_tables(ws, lane[: ws.Mp], cen_on, dtype)
+        reset_keep = None
+        cen_keep = True
+        if li > 0:
+            first_boundary = partition.iterator[level][1]
+            bmask = np.isin(partition.id, [first_boundary])
+            reset_keep = _lane_mask_of(cg, ws, bmask)
+            cen_keep = cg.cmap.center >= 0 and bool(bmask[cg.cmap.center])
+        stages.append(StageSpec(tables=tables, static=static,
+                                sel_mask=lane, reset_keep=reset_keep,
+                                cen_keep=cen_keep, halo_map=halo_map))
+    return stages
+
+
+def _bfm_ms_stream(A, halo, source, gr, U, config, levels,
+                   interpret: bool = False) -> BellmanFordMoore:
+    """bfm_ms on the circulant fast path (ops/stream_t.py staged solve):
+    level masks become per-slot lane masks, the boundary restart a lane
+    reset, and all stages run in one device dispatch.  ~100x faster than
+    the ELL path on production meshes.  Predecessors are recovered
+    best-effort from the final field over the unmasked stencil (the
+    multi-leg restart makes a single global shortest-path tree
+    ill-defined; the reference's experimental ms code has the same
+    ambiguity)."""
+    from ..ops.circulant import build_circulant, recover_prev_device
+    from ..ops.stream_t import _stream_tables, solve_stream_staged
+    from ..ops.wrapped_t import pack_twrapped_stencil
+
+    partition = partition_grid(gr)
+    if levels is None:
+        levels = (1, 2 * partition.nlayers - 1)
+    dtype = np.dtype(config.dtype)
+    cg = build_circulant(gr, A, halo, U, dtype=dtype)
+    # closure must stay off: closed-band entries are 2-hop compositions
+    # whose intermediate slot is not mask-checked
+    ws = pack_twrapped_stencil(cg, dtype=dtype, band_closure=0)
+    _, static = _stream_tables(ws, dtype)
+    stages = _ms_stages(cg, ws, static, halo, partition, levels, dtype)
+    dist, _ = solve_stream_staged(cg, ws, stages, [source], config,
+                                  interpret=interpret)
+    dist = dist[0]
+    prev = recover_prev_device(cg, dist)
+    prev[source] = source
+    return BellmanFordMoore(prev=prev, dist=dist)
+
+
 def bfm_ms(
     A: sp.csr_matrix,
     halo: np.ndarray,
@@ -98,6 +177,8 @@ def bfm_ms(
     U: np.ndarray,
     config: SolverConfig = DEFAULT_SOLVER_CONFIG,
     levels: Optional[Tuple[int, ...]] = None,
+    method: str = "ell",
+    interpret: bool = False,
 ) -> BellmanFordMoore:
     """Multi-stage BFM (src/SSSP/bfm_new_ms.jl:30-138).
 
@@ -105,7 +186,14 @@ def bfm_ms(
     `for i in [1, length(iterator)]`.  Between levels the source moves to
     the minimum-distance node of the level's first boundary and all other
     distances reset to +inf.
+
+    method='stream' runs the circulant fast path (staged level-masked
+    streamed solve, one device dispatch); 'ell' is the general-graph
+    reference implementation the fast path is equality-tested against.
     """
+    if method == "stream":
+        return _bfm_ms_stream(A, halo, source, gr, U, config, levels,
+                              interpret=interpret)
     partition = partition_grid(gr)
     if levels is None:
         levels = (1, 2 * partition.nlayers - 1)
@@ -146,6 +234,60 @@ def bfm_ms(
     return BellmanFordMoore(prev=np.asarray(prev)[: gr.nnods], dist=np.asarray(dist)[: gr.nnods])
 
 
+def _bfm_multiphase_stream(A, source, gr, U, partition, interpolant,
+                           config, nlevels,
+                           interpret: bool = False) -> BellmanFordMoore:
+    """bfm_multiphase on the circulant fast path: the per-level boundary
+    velocity swap is a weight edit at boundary slots, expressed as one
+    circulant repack per level (each level gets its own stage tables);
+    all levels then run masked in one device dispatch."""
+    from ..ops.circulant import build_circulant, recover_prev_device
+    from ..ops.stream_t import (
+        StageSpec,
+        _stream_tables,
+        masked_stream_tables,
+        solve_stream_staged,
+    )
+    from ..ops.wrapped_t import pack_twrapped_stencil
+
+    partition = partition or partition_grid(gr)
+    bnodes = _boundary_nodes(gr, partition)
+    ray_dir = directions(partition.nlayers)
+    bdict = dict(zip(partition.boundaries, partition.rboundaries))
+    U = np.asarray(U, dtype=np.float64).copy()
+    empty_halo = np.empty((0, 2), dtype=np.int64)
+    dtype = np.dtype(config.dtype)
+
+    stages = []
+    cg0 = ws0 = static0 = None
+    for i in range(1, nlevels + 1):
+        active = partition.iterator[i]
+        current_boundaries = active[1:]
+        if interpolant is not None:
+            for b in current_boundaries:
+                U = boundary_velocity(
+                    U, interpolant, bdict[b], bnodes[b],
+                    ray_dir[i][0 if b == current_boundaries[0] else 1])
+        cg = build_circulant(gr, A, empty_halo, U, dtype=dtype)
+        ws = pack_twrapped_stencil(cg, dtype=dtype, band_closure=0)
+        _, static = _stream_tables(ws, dtype)
+        if cg0 is None:
+            cg0, ws0, static0 = cg, ws, static
+        nmask = level_mask(partition, i)
+        lane = _lane_mask_of(cg, ws, nmask)
+        cen_on = cg.cmap.center >= 0 and bool(nmask[cg.cmap.center])
+        stages.append(StageSpec(
+            tables=masked_stream_tables(ws, lane[: ws.Mp], cen_on, dtype),
+            static=static, sel_mask=lane))
+
+    dist, _ = solve_stream_staged(cg0, ws0, stages, [source], config,
+                                  interpret=interpret)
+    dist = dist[0]
+    prev = recover_prev_device(cg0, dist)
+    prev[source] = source
+    return BellmanFordMoore(prev=prev, dist=dist)
+
+
 def bfm_multiphase(
     A: sp.csr_matrix,
     source: int,
@@ -155,6 +297,8 @@ def bfm_multiphase(
     interpolant: Optional[Callable] = None,
     config: SolverConfig = DEFAULT_SOLVER_CONFIG,
     nlevels: int = 3,
+    method: str = "ell",
+    interpret: bool = False,
 ) -> BellmanFordMoore:
     """Multiphase BFM on the nodal graph (src/SSSP/bfm_multiphase.jl:30-156).
 
@@ -162,7 +306,15 @@ def bfm_multiphase(
     `for i in 1:3`), updating the boundary-node velocities above/below per
     the level's ray direction before each sweep.  No halo (the reference
     variant predates node doubling).
+
+    method='stream' runs the circulant fast path (per-level repacked
+    weights, masked staged streamed solve in one dispatch); 'ell' is the
+    general-graph reference implementation.
     """
+    if method == "stream":
+        return _bfm_multiphase_stream(A, source, gr, U, partition,
+                                      interpolant, config, nlevels,
+                                      interpret=interpret)
     partition = partition or partition_grid(gr)
     bnodes = _boundary_nodes(gr, partition)
     ray_dir = directions(partition.nlayers)

@@ -115,6 +115,50 @@ def test_bfm_multiphase_runs(tiny_annulus, tiny_velocity):
     assert np.isfinite(D.dist).sum() > 100
 
 
+F32 = SolverConfig(dtype="float32")
+
+
+def test_bfm_ms_stream_matches_ell(tiny_annulus, tiny_velocity):
+    # the circulant staged fast path must reproduce the ELL reference
+    # implementation: same finite set (level masking), same distances
+    gr, A, halo = tiny_annulus
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    D_ell = bfm_ms(A, halo, src, gr, tiny_velocity, F32)
+    D_str = bfm_ms(A, halo, src, gr, tiny_velocity, F32,
+                   method="stream", interpret=True)
+    ok = np.isfinite(D_ell.dist)
+    np.testing.assert_array_equal(np.isfinite(D_str.dist), ok)
+    np.testing.assert_allclose(D_str.dist[ok], D_ell.dist[ok],
+                               rtol=1e-5, atol=5e-3)
+
+
+def test_bfm_ms_stream_single_level(tiny_annulus, tiny_velocity):
+    gr, A, halo = tiny_annulus
+    src = rt.closest_point(gr, np.deg2rad(45.0), R, system="polar")
+    D_ell = bfm_ms(A, halo, src, gr, tiny_velocity, F32, levels=(1,))
+    D_str = bfm_ms(A, halo, src, gr, tiny_velocity, F32, levels=(1,),
+                   method="stream", interpret=True)
+    ok = np.isfinite(D_ell.dist)
+    np.testing.assert_array_equal(np.isfinite(D_str.dist), ok)
+    np.testing.assert_allclose(D_str.dist[ok], D_ell.dist[ok],
+                               rtol=1e-5, atol=5e-3)
+
+
+def test_bfm_multiphase_stream_matches_ell(tiny_annulus, tiny_velocity):
+    gr, A, halo = tiny_annulus
+    prof = rt.velocity_profile()
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    D_ell = bfm_multiphase(A, src, gr, tiny_velocity, interpolant=interp,
+                           config=F32)
+    D_str = bfm_multiphase(A, src, gr, tiny_velocity, interpolant=interp,
+                           config=F32, method="stream", interpret=True)
+    ok = np.isfinite(D_ell.dist)
+    np.testing.assert_array_equal(np.isfinite(D_str.dist), ok)
+    np.testing.assert_allclose(D_str.dist[ok], D_ell.dist[ok],
+                               rtol=1e-5, atol=5e-3)
+
+
 def test_find_new_source_min(tiny_annulus, tiny_velocity):
     gr, A, halo = tiny_annulus
     src = rt.closest_point(gr, 0.0, R, system="polar")
