@@ -80,28 +80,38 @@ def bench_3d(rows, root, cache_dir):
     U = interp(g.r)
     cfg = SolverConfig(dtype="float32")
     packed = prepare3d(g, U, cfg)
-    degs = [(70.0, 70.0), (90.0, 90.0), (110.0, 110.0), (80.0, 100.0)]
+    # 64 surface sources spread over the wedge interior
+    ss = [(a, b) for a in np.linspace(66.0, 114.0, 8)
+          for b in np.linspace(66.0, 114.0, 8)]
     sources = [rt.closest_point3d(g, *spherical2cart(np.deg2rad(a), np.deg2rad(b), R))
-               for a, b in degs]
-    solve3d(g, U, sources[:1], cfg, _packed=packed)  # compile
+               for a, b in ss]
+    # receiver grid: every 4th surface node (32 x 32 = 1024 receivers);
+    # only these columns ever cross the device->host boundary
+    n0, n1, n2 = g.nnods
+    ii, jj = np.meshgrid(np.arange(0, n0, 4), np.arange(0, n1, 4))
+    receivers = ((n2 - 1) * n1 * n0 + jj.ravel() * n0 + ii.ravel()).astype(np.int64)
+    solve3d(g, U, sources[:1], cfg, _packed=packed,
+            receivers=receivers)  # compile
     dt = float("inf")
     for _ in range(2):
         t0 = time.time()
-        dist, iters = solve3d(g, U, sources, cfg, _packed=packed)
+        table, iters = solve3d(g, U, sources, cfg, _packed=packed,
+                               receivers=receivers)
         dt = min(dt, time.time() - t0)
-    assert np.isfinite(dist).all()
+    assert table.shape == (64, len(receivers)) and np.isfinite(table).all()
     log(f"3-D {g.nnods_total} nodes, {len(sources)} sources: {dt:.2f}s "
         f"({dt/len(sources)*1e3:.0f} ms/source, {iters} iters)")
     rows.append({
-        "workload": "multi-source 3-D (BASELINE #5)",
+        "workload": "multi-source 3-D table (BASELINE #5)",
         "config": f"{nt}x{npn}x{nr} spherical wedge ({g.nnods_total:,} nodes), "
-                  "AK135 Vp, 4 sources, solve3d",
+                  f"AK135 Vp, 64 sources x {len(receivers)} surface receivers, solve3d",
         "ms_per_source": round(dt / len(sources) * 1e3),
         "total_s": round(dt, 2),
         "iters": iters,
-        "notes": "Pallas multi-sweep kernel (ops/sweep3d.py), full-field "
-                 "host pulls included; no reference numbers exist (legacy "
-                 "CUDA 3-D was removed upstream)",
+        "notes": "Pallas multi-sweep kernel (ops/sweep3d.py); receiver-only "
+                 "device->host pulls with the iteration count bundled into "
+                 "the result array (one pull per source); no reference "
+                 "numbers exist (legacy CUDA 3-D was removed upstream)",
     })
 
 

@@ -36,6 +36,7 @@ from .ops.circulant import CirculantError, CirculantGraph, build_circulant, solv
 from .solvers.api import AnnulusSolver
 from .solvers.bfm import bfm, bfm3d, bfm_gpu, bfm_tpu, prepare, solve, solve_many
 from .solvers.multiphase import bfm_ms, bfm_multiphase, boundary_velocity, directions
+from .solvers.phases import phase_travel_times, reflected_travel_times
 from .solvers.dijkstra import weight_matrix, weights
 from .models.delaunay import add_midpoints, triangle_annulus_2d
 from .solvers.dijkstra import dijkstra
@@ -83,6 +84,8 @@ __all__ = [
     "bfm3d",
     "bfm_ms",
     "bfm_multiphase",
+    "phase_travel_times",
+    "reflected_travel_times",
     "boundary_velocity",
     "directions",
     "weight_matrix",

@@ -90,6 +90,70 @@ def first_arrival(delta_deg, profile_r: np.ndarray, profile_v: np.ndarray,
     return np.asarray(out)
 
 
+def reflected_arrival(delta_deg, profile_r: np.ndarray,
+                      profile_v: np.ndarray, r_reflect: float,
+                      n_p: int = 20000) -> np.ndarray:
+    """Travel time(s) of the branch reflected at radius `r_reflect`
+    (e.g. PcP for the core-mantle boundary): rays traverse every shell
+    from the surface down to the reflector WITHOUT turning, bounce, and
+    retrace.  For ray parameter p (valid while a = p*v stays below each
+    shell's inner radius),
+
+        Delta(p) = 2 * sum arccos(a/r2) - arccos(a/r1)
+        T(p)     = 2 * sum (sqrt(r2^2-a^2) - sqrt(r1^2-a^2)) / v
+
+    over the shells above the reflector; Delta(p) is monotone in p for
+    the reflected branch, so T(Delta) follows by interpolation.
+
+    Independent anchor for the multi-leg phase solver (solvers/phases.py)
+    - the role TauP's PcP curve played for the reference.
+    """
+    r_all = np.asarray(profile_r, dtype=np.float64)
+    v_all = np.asarray(profile_v, dtype=np.float64)
+    keep = r_all >= float(r_reflect) - 1e-9
+    r, vr = r_all[keep], v_all[keep]
+    if r[0] > r_reflect + 1e-9:   # extend the deepest kept shell down
+        r = np.concatenate([[float(r_reflect)], r])
+        vr = np.concatenate([[vr[0]], vr])
+    v = np.maximum(0.5 * (vr[:-1] + vr[1:]), 1e-9)
+
+    # no turning above the reflector: p*v_k < r1_k for every shell
+    p_max = np.min(r[:-1] / v) * 0.999999
+    p = np.linspace(0.0, p_max, n_p)
+
+    r1 = r[:-1][None, :]
+    r2 = r[1:][None, :]
+    vd = v[None, :]
+    a = p[:, None] * vd
+    with np.errstate(invalid="ignore"):
+        s2 = np.sqrt(np.maximum(r2 * r2 - a * a, 0.0))
+        s1 = np.sqrt(np.maximum(r1 * r1 - a * a, 0.0))
+        dT = (s2 - s1) / vd
+        dD = (np.arccos(np.clip(a / r2, -1.0, 1.0))
+              - np.arccos(np.clip(a / r1, -1.0, 1.0)))
+    delta = 2.0 * dD.sum(axis=1)
+    T = 2.0 * dT.sum(axis=1)
+
+    out = np.interp(np.deg2rad(np.atleast_1d(
+        np.asarray(delta_deg, dtype=np.float64))), delta, T,
+        right=np.nan)
+    return out
+
+
+def ak135_reflected(delta_deg, r_reflect: float, model: str = "ak135",
+                    wave: str = "Vp", shell_km: int = 4,
+                    n_p: int = 20000) -> np.ndarray:
+    """Reflected-branch times for the vendored AK135/IASP91 tables
+    (e.g. r_reflect = R - 2891.5 for PcP / ScS)."""
+    from .velocity import velocity_profile
+
+    prof = velocity_profile(model)
+    v = getattr(prof, wave if wave in ("Vp", "Vs") else "Vp")
+    step = max(int(shell_km), 1)
+    return reflected_arrival(delta_deg, prof.r[::step], v[::step],
+                             r_reflect, n_p=n_p)
+
+
 def ak135_first_arrivals(delta_deg, model: str = "ak135", wave: str = "Vp",
                          shell_km: int = 4, n_p: int = 4000) -> np.ndarray:
     """Convenience: first arrivals for the vendored AK135/IASP91 tables.

@@ -554,7 +554,7 @@ def solve_stream_staged(
     jax.jit,
     static_argnames=("statics", "max_iters", "interpret", "S"),
 )
-def _solve_stream_jit(src_m, src_c, src_cen, tbls, tol,
+def _solve_stream_jit(src_m, src_c, src_cen, tbls, tol, tol_coarse,
                       statics: Tuple[LevelStatic, ...],
                       max_iters: int, interpret: bool, S: int):
     """Multi-level streamed solve from (S,) source descriptors.
@@ -587,8 +587,13 @@ def _solve_stream_jit(src_m, src_c, src_cen, tbls, tol,
                       & (~src_cen[:, None, None]), zero, inf)
     cen0 = jnp.where(src_cen, zero, inf)
 
+    # coarse levels stop at a LOOSER tolerance: they only supply an
+    # upper-bound initialisation, so iterating them to the fine tol
+    # wastes sweeps polishing bounds the fine level re-derives anyway
+    # (the fine level always runs to `tol`, so the result is unchanged)
     st = _run_level(dist0, cen0, jnp.zeros((), jnp.int32),
-                    tbls[L], statics[L], tol, max_iters, interpret)
+                    tbls[L], statics[L], tol if L == 0 else tol_coarse,
+                    max_iters, interpret)
     for l in range(L - 1, -1, -1):
         Mp, MLl, ntl = statics[l].Mp, statics[l].ML, statics[l].nt
         up = st.dist[:, jnp.arange(ntl, dtype=jnp.int32) // 2, :Mp]
@@ -597,7 +602,8 @@ def _solve_stream_jit(src_m, src_c, src_cen, tbls, tol,
         col = jnp.arange(ntl, dtype=jnp.int32)[None, :, None]
         fine0 = jnp.where(col % 2 == pars[l][:, None, None], up, inf)
         st = _run_level(fine0, st.cen, st.it, tbls[l], statics[l],
-                        tol, max_iters, interpret)
+                        tol if l == 0 else tol_coarse,
+                        max_iters, interpret)
     return st
 
 
@@ -642,8 +648,9 @@ def solve_circulant_stream(
         src_m = np.where(is_cen, 0, cmap.m_of[chunk]).astype(np.int32)
         src_c = np.where(is_cen, 0, cmap.c_of[chunk]).astype(np.int32)
         st = _solve_stream_jit(
-            src_m, src_c, is_cen, tuple(tbls), tol, tuple(statics),
-            config.max_iters, interpret, S,
+            src_m, src_c, is_cen, tuple(tbls), tol,
+            jnp.asarray(max(config.tol_value(), 0.05), dtype),
+            tuple(statics), config.max_iters, interpret, S,
         )
         cen2d = jnp.broadcast_to(jnp.repeat(st.cen, LANES)[None, :],
                                  (SUB, S * LANES))

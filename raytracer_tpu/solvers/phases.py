@@ -1,0 +1,211 @@
+"""Named seismic phases on top of the staged masked solver.
+
+The reference scaffolds a phase library
+(/root/reference/src/multiphase/library.jl:9-31) on top of its ms /
+multiphase sweeps (src/SSSP/bfm_new_ms.jl:30-138) but never delivers a
+working named-phase API - the library is dead code and the sweeps run
+only the first/last partition levels.  This module finishes the idea on
+the circulant fast path:
+
+  P / S     direct first arrival (plain solve; wave picks Vp/Vs)
+  PcP / ScS reflection at the core-mantle boundary: leg 1 solves the
+            SSSP restricted to the mantle region (nodes above the CMB,
+            boundary included), leg 2 keeps only the CMB boundary
+            values and re-solves the same region - the up-leg takes the
+            min over all reflection points automatically, which is the
+            first-arrival reflected branch
+  PP        single surface reflection, composed from two direct-P
+            fields by reciprocity: the Fermat-minimax bounce -
+            PP(s, r) = max over minor-arc surface bounce points b of
+            t_s(b) + t_r(b) (the stationary point is a maximum along
+            the bounce path; a min would collapse to direct P)
+
+Validated against the independent classical ray-theory reflected branch
+(models/raytheory.py::reflected_arrival) in tests/test_phases.py and
+benchmarks/accuracy.py.
+
+Region masks piggyback on the radial partition (models/partition.py):
+a phase leg's region is "every layer above reflector k plus boundaries
+1..k", which - like the ms level masks - depends only on radius and so
+collapses to a per-slot lane mask of the circulant layout.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..config import DEFAULT_SOLVER_CONFIG, R, SolverConfig
+from ..models.partition import partition_grid
+from .types import BellmanFordMoore
+
+# reflector name -> boundary index in DISCONTINUITY_RADII (1-based)
+REFLECTORS = {"cmb": 7, "660": 5, "410": 4, "moho": 2}
+
+
+def _region_mask_above(partition, k: int) -> np.ndarray:
+    """Nodes in layers 1..k and on boundaries 1..k (the region a ray may
+    traverse before reflecting at boundary k)."""
+    return ((partition.layer_of >= 1) & (partition.layer_of <= k)) | \
+           ((partition.boundary_of >= 1) & (partition.boundary_of <= k))
+
+
+def _phase_setup(A, halo, gr, U, k: int, config):
+    from ..ops.circulant import build_circulant
+    from ..ops.stream_t import _stream_tables, masked_stream_tables
+    from ..ops.wrapped_t import pack_twrapped_stencil
+    from .multiphase import _halo_slot_map, _lane_mask_of
+
+    partition = partition_grid(gr)
+    dtype = np.dtype(config.dtype)
+    cg = build_circulant(gr, A, halo, U, dtype=dtype)
+    ws = pack_twrapped_stencil(cg, dtype=dtype, band_closure=0)
+    _, static = _stream_tables(ws, dtype)
+    halo_map = _halo_slot_map(cg, ws, halo)
+    region = _region_mask_above(partition, k)
+    lane = _lane_mask_of(cg, ws, region)
+    cen_on = cg.cmap.center >= 0 and bool(region[cg.cmap.center])
+    tables = masked_stream_tables(ws, lane[: ws.Mp], cen_on, dtype)
+    bmask = partition.boundary_of == k
+    keep = _lane_mask_of(cg, ws, bmask)
+    return cg, ws, static, tables, lane, keep, halo_map
+
+
+def region_travel_times(
+    A: sp.csr_matrix,
+    halo: np.ndarray,
+    source: int,
+    gr,
+    U: np.ndarray,
+    reflector: str = "cmb",
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    interpret: bool = False,
+) -> np.ndarray:
+    """(n,) single-leg field: SSSP restricted to the region above the
+    reflector (the 'down leg' primitive; reflected_travel_times composes
+    two of these through the boundary restart).  Used by the tests to
+    cross-check the staged solve by reciprocity:
+    PcP(s, r) = min over boundary nodes b of leg_s[b] + leg_r[b]."""
+    from ..ops.stream_t import StageSpec, solve_stream_staged
+
+    k = REFLECTORS[reflector.lower()]
+    cg, ws, static, tables, lane, _, halo_map = _phase_setup(
+        A, halo, gr, U, k, config)
+    stages = [StageSpec(tables=tables, static=static, sel_mask=lane,
+                        halo_map=halo_map)]
+    dist, _ = solve_stream_staged(cg, ws, stages, [source], config,
+                                  interpret=interpret)
+    return dist[0]
+
+
+def reflected_travel_times(
+    A: sp.csr_matrix,
+    halo: np.ndarray,
+    source: int,
+    gr,
+    U: np.ndarray,
+    reflector: str = "cmb",
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    interpret: bool = False,
+) -> np.ndarray:
+    """(n,) first-arrival times of the branch reflected at `reflector`
+    (PcP with U = Vp, ScS with U = Vs).  Two region-masked stages in one
+    device dispatch; nodes outside the region return +inf."""
+    from ..ops.stream_t import StageSpec, solve_stream_staged
+
+    k = REFLECTORS[reflector.lower()]
+    cg, ws, static, tables, lane, keep, halo_map = _phase_setup(
+        A, halo, gr, U, k, config)
+    stages = [
+        StageSpec(tables=tables, static=static, sel_mask=lane,
+                  halo_map=halo_map),
+        StageSpec(tables=tables, static=static, sel_mask=lane,
+                  reset_keep=keep, cen_keep=False, halo_map=halo_map),
+    ]
+    dist, _ = solve_stream_staged(cg, ws, stages, [source], config,
+                                  interpret=interpret)
+    return dist[0]
+
+
+def pp_travel_times(
+    t_src: np.ndarray,
+    t_rcv: np.ndarray,
+    gr,
+    src: int,
+    rcv: int,
+) -> float:
+    """PP time from two direct-P SURFACE fields by reciprocity.
+
+    The classical PP bounce point is a STATIONARY point of
+    f(b) = t_src[b] + t_rcv[b] that is a maximum along the bounce path
+    (Fermat minimax: d/db f = p_src - p_rcv = 0 at the minor-arc
+    midpoint, and dp/dDelta < 0 makes it a maximum there) - minimising f
+    would collapse toward the direct arrival as b approaches either
+    endpoint.  So: evaluate f over surface bounce points on the minor
+    arc strictly between source and receiver and take the maximum."""
+    rr = np.asarray(gr.r)
+    surf = np.flatnonzero(rr == rr.max())
+    th = np.mod(np.asarray(gr.theta)[surf], 2 * np.pi)
+    ts = float(np.mod(gr.theta[src], 2 * np.pi))
+    tr = float(np.mod(gr.theta[rcv], 2 * np.pi))
+    span = np.mod(tr - ts, 2 * np.pi)
+    if span > np.pi:      # minor arc runs the other way
+        ts, tr = tr, ts
+        span = 2 * np.pi - span
+    rel = np.mod(th - ts, 2 * np.pi)
+    eps = 1e-9
+    ok = (rel > eps) & (rel < span - eps)
+    cand = t_src[surf[ok]] + t_rcv[surf[ok]]
+    cand = cand[np.isfinite(cand)]
+    return float(np.max(cand)) if len(cand) else float("inf")
+
+
+def phase_travel_times(
+    A: sp.csr_matrix,
+    halo: np.ndarray,
+    source: int,
+    gr,
+    U: np.ndarray,
+    phase: str = "P",
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    receivers: Optional[Sequence[int]] = None,
+    interpret: bool = False,
+) -> np.ndarray:
+    """First-arrival times of a named phase at `receivers` (or all
+    nodes).  U must carry the matching wave speed (Vp for P phases, Vs
+    for S phases).
+
+    'P'/'S'     -> plain solve (AnnulusSolver fast path)
+    'PcP'/'ScS' -> reflected_travel_times at the CMB
+    'PP'        -> reciprocity composition of two direct fields;
+                   requires `receivers` (returns one time per receiver)
+    """
+    p = phase.upper()
+    if p in ("P", "S"):
+        from .api import AnnulusSolver
+
+        solver = AnnulusSolver(gr, A, halo, U, config,
+                              method="circulant" if interpret else "auto")
+        dist = solver.solve(source, want_prev=False).dist
+        return dist if receivers is None else dist[np.asarray(receivers)]
+    if p in ("PCP", "SCS"):
+        dist = reflected_travel_times(A, halo, source, gr, U,
+                                      reflector="cmb", config=config,
+                                      interpret=interpret)
+        return dist if receivers is None else dist[np.asarray(receivers)]
+    if p == "PP":
+        if receivers is None:
+            raise ValueError("PP needs explicit receivers")
+        from .api import AnnulusSolver
+
+        solver = AnnulusSolver(gr, A, halo, U, config,
+                              method="circulant" if interpret else "auto")
+        t_src = solver.solve(source, want_prev=False).dist
+        out = []
+        for r_ in np.asarray(receivers):
+            t_rcv = solver.solve(int(r_), want_prev=False).dist
+            out.append(pp_travel_times(t_src, t_rcv, gr, source, int(r_)))
+        return np.asarray(out)
+    raise ValueError(f"unknown phase {phase!r}; "
+                     f"supported: P, S, PcP, ScS, PP")
