@@ -124,7 +124,7 @@ def mesh_vs_mesh(ntheta=180, nr=50, spacing=50.0):
 
 
 def convergence(configs=((20.0, 1), (15.0, 1), (10.0, 1), (5.0, 1),
-                         (20.0, 2), (10.0, 2))):
+                         (20.0, 2), (10.0, 2), (5.0, 2))):
     """RMSE vs AK135 ray theory on the 180x63 annulus as the mesh refines."""
     import raytracer_tpu as rt
     from raytracer_tpu.config import R
@@ -149,7 +149,90 @@ def convergence(configs=((20.0, 1), (15.0, 1), (10.0, 1), (5.0, 1),
     return rows
 
 
-def write_report(mvm, conv, path="ACCURACY.md"):
+def faithful_digests(ntheta=180, nr=50, spacing=50.0,
+                     out="benchmarks/faithful_digests.json"):
+    """Export executable cross-check digests of the faithful mesh.
+
+    Julia is not installed in this environment (and cannot be), so the
+    faithful-mesh equivalence cannot be executed against the reference
+    directly here.  This writes the exact quantities a Julia session
+    with the reference loaded must reproduce, with the checking snippet
+    documented in ACCURACY.md - anyone with Julia + the reference repo
+    can close the loop in one paste.
+    """
+    import hashlib
+    import json
+
+    import raytracer_tpu as rt
+    from raytracer_tpu.config import R
+
+    gr, A, halo, Vp = build(ntheta, nr, spacing, faithful=True)
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    degs, recs = receiver_fan(gr)
+    tt = dijkstra_times(gr, A, halo, Vp, src, recs)
+
+    def digest(a):
+        return hashlib.sha256(np.ascontiguousarray(a).tobytes()).hexdigest()[:16]
+
+    payload = {
+        "config": {"ntheta": ntheta, "nr": nr, "spacing_km": spacing,
+                   "model": "ak135", "source_deg": 0.0},
+        "nodes": int(gr.nnods),
+        "directed_edges": int(A.nnz),
+        "halo_rows": int(len(halo)),
+        "sum_r_km": float(np.sum(gr.r)),
+        "sum_theta_rad": float(np.sum(gr.theta)),
+        "r_sorted_sha256_16": digest(np.sort(np.round(gr.r, 6))),
+        "degree_hist_sha256_16": digest(np.bincount(np.diff(A.indptr))),
+        "receiver_degs": degs.tolist(),
+        "travel_times_s": [round(float(t), 4) for t in tt],
+    }
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
+    log(f"wrote {out}")
+    return payload
+
+
+def pcp_curve(ntheta=180, nr=63, spacing=20.0):
+    """PcP travel-time curve vs the independent reflected-branch ray
+    theory (TPU only - the staged solve runs the real kernels)."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        log("pcp_curve: no TPU, skipped")
+        return None
+    import raytracer_tpu as rt
+    from raytracer_tpu.config import R, SolverConfig
+    from raytracer_tpu.models.raytheory import (
+        ak135_first_arrivals,
+        ak135_reflected,
+    )
+    from raytracer_tpu.solvers.phases import reflected_travel_times
+
+    gr, A, halo, Vp = build(ntheta, nr, spacing)
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    t0 = time.time()
+    pcp = reflected_travel_times(A, halo, src, gr, Vp, "cmb",
+                                 SolverConfig(dtype="float32"))
+    log(f"  PcP staged solve: {time.time()-t0:.1f}s")
+    degs = np.arange(10.0, 80.0, 10.0)
+    recs = np.asarray([rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+                       for d in degs])
+    t_spm = pcp[recs]
+    t_ray = ak135_reflected(degs, 6371.0 - 2891.5)
+    # yardstick: the direct-P discretisation overshoot on the same grid
+    p_spm = dijkstra_times(gr, A, halo, Vp, src,
+                           np.asarray([rt.closest_point(
+                               gr, np.deg2rad(d), R, system="polar")
+                               for d in degs]))
+    p_ray = ak135_first_arrivals(degs)
+    rows = [(float(d), float(ts), float(tr), float(ts - tr),
+             float(ps - pr))
+            for d, ts, tr, ps, pr in zip(degs, t_spm, t_ray, p_spm, p_ray)]
+    return rows
+
+
+def write_report(mvm, conv, path="ACCURACY.md", digests=None, pcp=None):
     lines = [
         "# ACCURACY — travel-time fidelity vs the Julia CPU reference",
         "",
@@ -199,6 +282,62 @@ def write_report(mvm, conv, path="ACCURACY.md"):
         "exact Dijkstra distances (solver-independent; the TPU solvers match",
         "Dijkstra to f32 in tests/test_solvers.py and tests/test_diag_kernel.py).",
         "",
+    ]
+    if pcp:
+        lines += [
+            "## 2b. PcP reflected-branch curve vs ray theory",
+            "",
+            "The named-phase solver's PcP (solvers/phases.py: mantle-masked",
+            "down leg, CMB-keep restart, masked up leg on the staged circulant",
+            "engine, real TPU kernels) against the independent classical",
+            "reflected-branch integrals (models/raytheory.py::ak135_reflected,",
+            "whose PcP(0 deg) = 510.9 s matches published AK135 tables).  The",
+            "direct-P column shows the discretisation overshoot of the SAME",
+            "grid - the PcP error sits inside the same envelope, i.e. it is",
+            "grid bias, not phase-logic error:",
+            "",
+            "| deg | PcP SPM (s) | PcP ray (s) | PcP err (s) | direct-P err (s) |",
+            "|---|---|---|---|---|",
+        ]
+        for d, ts, tr, err, perr in pcp:
+            lines.append(f"| {d:g} | {ts:.2f} | {tr:.2f} | {err:+.2f} | {perr:+.2f} |")
+        lines += [""]
+    if digests:
+        lines += [
+            "## 2c. Executable faithful-mesh cross-check (for a Julia host)",
+            "",
+            "Julia cannot be installed in this environment, so the faithful",
+            "mesher replication has no executed Julia comparison here.",
+            "`benchmarks/faithful_digests.json` freezes the quantities a Julia",
+            "session must reproduce at the reference driver config; with the",
+            "reference repo checked out, this closes the loop:",
+            "",
+            "```julia",
+            "include(\"src/RayTracer.jl\"); using .RayTracer, SparseArrays",
+            "gr, G, halo = init_annulus(180, 50; spacing = 50.0)",
+            "println(length(gr.x))         # nodes",
+            "println(sum(gr.r))            # sum_r_km",
+            "println(size(halo, 1))        # halo_rows (both directions)",
+            "```",
+            "",
+            f"Expected: nodes = {digests['nodes']:,}, "
+            f"sum_r_km = {digests['sum_r_km']:.6g}, "
+            f"halo_rows = {digests['halo_rows']:,}; the JSON also carries the",
+            "receiver-fan Dijkstra travel times (the quantity that decides",
+            "parity) and order-independent SHA digests of the radii and the",
+            "adjacency degree histogram.",
+            "",
+            "## 2d. External anchor availability (attempted this round)",
+            "",
+            "- `obspy` (TauP port): not installed, and package installation is",
+            "  unavailable in this environment - `import obspy` fails.  The",
+            "  classical ray-theory module (models/raytheory.py) remains the",
+            "  offline TauP stand-in; its direct-P and PcP values match",
+            "  published AK135 tables to ~1 s (see its tests).",
+            "- Julia: no binary available; see 2c for the frozen cross-check.",
+            "",
+        ]
+    lines += [
         "## 3. Benchmark-era node-count forensics",
         "",
         "The reference's committed benchmark CSVs record node counts",
@@ -222,11 +361,14 @@ def write_report(mvm, conv, path="ACCURACY.md"):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-convergence", action="store_true")
+    ap.add_argument("--skip-pcp", action="store_true")
     ap.add_argument("--out", default="ACCURACY.md")
     args = ap.parse_args()
     mvm = mesh_vs_mesh()
     conv = [] if args.skip_convergence else convergence()
-    write_report(mvm, conv, args.out)
+    digests = faithful_digests()
+    pcp = None if args.skip_pcp else pcp_curve()
+    write_report(mvm, conv, args.out, digests=digests, pcp=pcp)
     print(f"RMSE {mvm['rmse']:.3e} s")
 
 

@@ -146,6 +146,76 @@ def travel_time_table_twrapped(
     return vals[: len(sources), :-1]
 
 
+def travel_time_table_stream(
+    cg,
+    sources: Sequence[int],
+    receivers: Sequence[int],
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    mesh: Optional[Mesh] = None,
+    interpret: bool = False,
+    warm_levels: int = 0,
+    _packed=None,
+) -> np.ndarray:
+    """Sharded travel-time table on the streamed theta-major path
+    (ops/stream_t.py) - the >=1M-node engine, optionally warm-started.
+
+    Sources shard over the 1-D mesh; each chip runs its local block
+    through the streamed solve (XLA scans + theta-blocked band kernel)
+    with in-shard receiver extraction - zero collectives anywhere."""
+    from ..ops.stream_t import _solve_stream_jit, _stream_tables
+    from ..ops.stream_t import _warm_stencils
+    from ..ops.wrapped_t import (_extract_arrays, _textract_jit,
+                                 pack_twrapped_stencil)
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    dtype = jnp.dtype(config.dtype)
+    ws = _packed if _packed is not None else pack_twrapped_stencil(
+        cg, dtype=dtype, band_closure=config.band_closure)
+    cmap = cg.cmap
+
+    levels = [ws]
+    if warm_levels:
+        levels += _warm_stencils(ws, cg, dtype, config.band_closure,
+                                 warm_levels)
+    tbls, statics = zip(*(_stream_tables(w, dtype) for w in levels))
+
+    sources = np.asarray(sources)
+    padded = pad_sources(sources, n_dev)
+    S_local = len(padded) // n_dev
+    is_cen = padded == cmap.center
+    src_m = np.where(is_cen, 0, cmap.m_of[padded]).astype(np.int32)
+    src_c = np.where(is_cen, 0, cmap.c_of[padded]).astype(np.int32)
+
+    m_idx, c_idx, center_mask, valid = _extract_arrays(cmap, receivers)
+    jm, jc = jnp.asarray(m_idx), jnp.asarray(c_idx)
+    jcm, jv = jnp.asarray(center_mask), jnp.asarray(valid)
+    tol = jnp.asarray(config.tol_value(), dtype)
+    tol_c = jnp.asarray(max(config.tol_value(), 0.05), dtype)
+    nt, ML = ws.nt, ws.ML
+    from ..ops.diag_circulant import LANES, SUB
+
+    def solve_block(sm, sc, scen):
+        st = _solve_stream_jit(
+            sm, sc, scen, tuple(tbls), tol, tol_c, tuple(statics),
+            config.max_iters, interpret, S_local)
+        cen2d = jnp.broadcast_to(jnp.repeat(st.cen, LANES)[None, :],
+                                 (SUB, S_local * LANES))
+        return _textract_jit(st.dist.reshape(S_local * nt, ML), cen2d,
+                             st.it, jm, jc, jcm, jv, S_local, nt)
+
+    fn = jax.jit(jax.shard_map(
+        solve_block,
+        mesh=mesh,
+        in_specs=(P(SOURCE_AXIS),) * 3,
+        out_specs=P(SOURCE_AXIS),
+        check_vma=False,
+    ))
+    vals = np.asarray(fn(jnp.asarray(src_m), jnp.asarray(src_c),
+                         jnp.asarray(is_cen)))
+    return vals[: len(sources), :-1]
+
+
 def travel_time_table_circulant(
     cg,
     sources: Sequence[int],

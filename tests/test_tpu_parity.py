@@ -76,8 +76,37 @@ def run_on_chip():
     d_pal, it_p = solve_circulant_pallas(cg, [src], F32)
     np.testing.assert_allclose(d_pal[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3,
                                err_msg="lane-gather kernel vs jnp circulant on TPU")
+
+    from raytracer_tpu.ops.stream_t import solve_circulant_stream
+
+    d_st, it_s = solve_circulant_stream(cg, [src], F32, band_closure=1)
+    np.testing.assert_allclose(d_st[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3,
+                               err_msg="streamed path vs jnp circulant on TPU")
+    d_sw, it_sw = solve_circulant_stream(cg, [src], F32, band_closure=1,
+                                         warm_levels=2)
+    np.testing.assert_allclose(d_sw[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3,
+                               err_msg="warm-started streamed path on TPU")
+
+    # staged masked solve (the ms/multiphase/phases engine)
+    prof = rt.velocity_profile()
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    from raytracer_tpu.solvers.multiphase import bfm_ms
+
+    gr2, A2, halo2 = rt.init_annulus(16, 6, spacing=200.0)
+    U2 = rt.interpolate_velocity(gr2.r, interp)
+    src2 = rt.closest_point(gr2, 0.0, R, system="polar")
+    D_ell = bfm_ms(A2, halo2, src2, gr2, U2, F32)
+    D_str = bfm_ms(A2, halo2, src2, gr2, U2, F32, method="stream")
+    ok2 = np.isfinite(D_ell.dist)
+    np.testing.assert_array_equal(np.isfinite(D_str.dist), ok2)
+    np.testing.assert_allclose(D_str.dist[ok2], D_ell.dist[ok2],
+                               rtol=1e-5, atol=5e-3,
+                               err_msg="staged masked solve vs ELL ms on TPU")
+
     print(f"TPU parity OK: twrapped iters={it_t}, wrapped iters={it_w}, "
-          f"diag iters={it_d}, pallas iters={it_p}, n={ok.sum()} nodes compared")
+          f"diag iters={it_d}, pallas iters={it_p}, stream iters={it_s}, "
+          f"stream-warm iters={it_sw}, staged-ms nodes={ok2.sum()}, "
+          f"n={ok.sum()} nodes compared")
 
 
 def test_tpu_kernel_parity():
