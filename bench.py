@@ -184,6 +184,20 @@ def main():
         if best is None or t_jnp < best:
             best, method = t_jnp, "jnp-circulant"
 
+    # on-chip kernel-parity trail (VERDICT r2 item 4): run the real-TPU
+    # parity module as a subprocess and record its verdict in the stderr
+    # trail the driver captures alongside the JSON line
+    try:
+        pscript = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tests", "test_tpu_parity.py")
+        out = subprocess.run([sys.executable, pscript], capture_output=True,
+                             text=True, timeout=PROBE_TIMEOUT_S)
+        tail = (out.stdout.strip().splitlines() or [""])[-1]
+        log(f"on-chip parity: {'OK' if out.returncode == 0 else 'FAIL'} "
+            f"({tail[:300]})")
+    except Exception as e:  # noqa: BLE001
+        log(f"on-chip parity probe unavailable: {type(e).__name__}")
+
     log(f"best path: {method}  {best*1e3:.0f} ms/solve")
     print(json.dumps({
         "metric": "BFM single-source solve wall-clock, 180x63 AK135 annulus (ref CPU-4t 2.31s, 1t 6.05s)",

@@ -37,7 +37,10 @@ CONFIGS = {
     # symmetry and the run falls back to the (slow-on-TPU) ELL path -
     # it works, but dominates the sweep wall-clock for a 1,015-node toy.
     "full": [(180, 50, "P", 50.0), (90, 32, "P"), (180, 63, "P"),
-             (180, 90, "P"), (720, 200, "S"), (1080, 300, "P")],
+             (180, 90, "P"), (720, 200, "S"), (1080, 300, "P"),
+             # the >=1M-node regime the reference (and the monolithic
+             # kernel) could not hold: streamed theta-major path
+             (1440, 400, "P", 10.0), (2160, 600, "P", 10.0)],
     "small": [(90, 32, "P"), (180, 63, "P")],
     "tiny": [(45, 16, "P")],
 }

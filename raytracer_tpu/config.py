@@ -74,8 +74,10 @@ class SolverConfig:
     # first and initialises the finer level with its field (any upper
     # bound preserves the label-correcting fixpoint, so the result is
     # unchanged - tested).  Cuts the iteration-vs-size scaling at large
-    # grids; 0 = off.  Levels stop automatically when ntheta goes odd.
-    warm_levels: int = 0
+    # grids; 0 = off, None = auto (measured policy in
+    # ops/stream_t.py::auto_warm_levels).  Levels stop automatically
+    # when ntheta goes odd.
+    warm_levels: int = None
 
     def tol_value(self) -> float:
         if self.tol is not None:

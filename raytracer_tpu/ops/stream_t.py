@@ -607,6 +607,14 @@ def _solve_stream_jit(src_m, src_c, src_cen, tbls, tol, tol_coarse,
     return st
 
 
+def auto_warm_levels(nt: int) -> int:
+    """Measured warm-level policy (PERF_NOTES.md round 3): the coarse
+    chain pays off in the ~1000-1500-column regime (1080x300: 223 ->
+    173 ms) and washes out or loses at the extremes (tunnel-bound small
+    grids; 2160 columns where the fine refinement tail dominates)."""
+    return 1 if 1000 <= nt < 2000 else 0
+
+
 def solve_circulant_stream(
     cg: CirculantGraph,
     sources,
@@ -630,6 +638,8 @@ def solve_circulant_stream(
         cg, dtype=dtype, band_closure=band_closure)
     if warm_levels is None:
         warm_levels = config.warm_levels
+    if warm_levels is None:
+        warm_levels = auto_warm_levels(ws.nt)
     sources = np.atleast_1d(np.asarray(sources, dtype=np.int64))
     cmap = cg.cmap
     S = max(1, min(batch, len(sources)))

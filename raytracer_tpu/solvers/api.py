@@ -78,7 +78,16 @@ class AnnulusSolver:
         if method == "auto":
             import jax
 
-            method = "twrapped" if jax.devices()[0].platform == "tpu" else "circulant"
+            if jax.devices()[0].platform == "tpu":
+                # measured crossover (PERF_NOTES.md round 3): the
+                # monolithic kernel wins below ~350k nodes (the solve is
+                # tunnel-latency-bound and its in-kernel iterations are
+                # cheapest); the streamed path wins beyond (450k: 104 vs
+                # 118 ms, 828k: 223 vs 245, 1.74M: 385 vs 680) and has
+                # no VMEM ceiling
+                method = "twrapped" if gr.nnods <= 350_000 else "stream"
+            else:
+                method = "circulant"
         self._requested = method
         self._diag_stencil = None
         self._wrapped_stencil = None

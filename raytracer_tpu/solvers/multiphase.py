@@ -138,7 +138,8 @@ def _ms_stages(cg, ws, static, halo, partition, levels, dtype):
 
 
 def _bfm_ms_stream(A, halo, source, gr, U, config, levels,
-                   interpret: bool = False) -> BellmanFordMoore:
+                   interpret: bool = False,
+                   want_prev: bool = True) -> BellmanFordMoore:
     """bfm_ms on the circulant fast path (ops/stream_t.py staged solve):
     level masks become per-slot lane masks, the boundary restart a lane
     reset, and all stages run in one device dispatch.  ~100x faster than
@@ -164,8 +165,11 @@ def _bfm_ms_stream(A, halo, source, gr, U, config, levels,
     dist, _ = solve_stream_staged(cg, ws, stages, [source], config,
                                   interpret=interpret)
     dist = dist[0]
-    prev = recover_prev_device(cg, dist)
-    prev[source] = source
+    if want_prev:
+        prev = recover_prev_device(cg, dist)
+        prev[source] = source
+    else:
+        prev = np.arange(len(dist))
     return BellmanFordMoore(prev=prev, dist=dist)
 
 
@@ -179,6 +183,7 @@ def bfm_ms(
     levels: Optional[Tuple[int, ...]] = None,
     method: str = "ell",
     interpret: bool = False,
+    want_prev: bool = True,
 ) -> BellmanFordMoore:
     """Multi-stage BFM (src/SSSP/bfm_new_ms.jl:30-138).
 
@@ -193,7 +198,7 @@ def bfm_ms(
     """
     if method == "stream":
         return _bfm_ms_stream(A, halo, source, gr, U, config, levels,
-                              interpret=interpret)
+                              interpret=interpret, want_prev=want_prev)
     partition = partition_grid(gr)
     if levels is None:
         levels = (1, 2 * partition.nlayers - 1)
