@@ -358,15 +358,51 @@ def write_report(mvm, conv, path="ACCURACY.md", digests=None, pcp=None):
     log(f"wrote {path}")
 
 
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "accuracy_cache.json")
+
+
+def _save_cache(payload):
+    import json
+
+    def default(o):
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        raise TypeError
+
+    with open(_CACHE, "w") as f:
+        json.dump(payload, f, default=default)
+
+
+def _load_cache():
+    import json
+
+    with open(_CACHE) as f:
+        return json.load(f)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-convergence", action="store_true")
     ap.add_argument("--skip-pcp", action="store_true")
+    ap.add_argument("--pcp-only", action="store_true",
+                    help="reuse cached CPU sections (accuracy_cache.json), "
+                         "compute only the TPU PcP curve, rewrite the report")
     ap.add_argument("--out", default="ACCURACY.md")
     args = ap.parse_args()
+    if args.pcp_only:
+        cached = _load_cache()
+        mvm = {k: (np.asarray(v) if isinstance(v, list) else v)
+               for k, v in cached["mvm"].items()}
+        conv, digests = cached["conv"], cached["digests"]
+        pcp = pcp_curve()
+        write_report(mvm, conv, args.out, digests=digests, pcp=pcp)
+        print(f"RMSE {mvm['rmse']:.3e} s (cached) + PcP section")
+        return
     mvm = mesh_vs_mesh()
     conv = [] if args.skip_convergence else convergence()
     digests = faithful_digests()
+    _save_cache({"mvm": mvm, "conv": conv, "digests": digests})
     pcp = None if args.skip_pcp else pcp_curve()
     write_report(mvm, conv, args.out, digests=digests, pcp=pcp)
     print(f"RMSE {mvm['rmse']:.3e} s")

@@ -223,6 +223,28 @@ def test_coarsen_theta_weights_are_real_path_costs():
                                           w1[:3] + w0[1:4]))
 
 
+def test_max_twrapped_batch_clamp():
+    # the monolithic kernel's VMEM estimate: generous at the reference
+    # mesh, zero (-> stream routing) at the 3.2M-node mesh
+    from raytracer_tpu.ops.wrapped_t import max_twrapped_batch
+
+    class _T:  # minimal TWStencil stand-in
+        def __init__(self, NTT, ML, rows):
+            self.NTT, self.ML = NTT, ML
+            self.wrows = np.zeros((rows, ML), np.float32)
+
+    assert max_twrapped_batch(_T(184, 896, 440)) >= 8      # 180x63
+    assert max_twrapped_batch(_T(2160, 1664, 560)) == 0    # 2160x600
+
+
+def test_auto_warm_levels_window():
+    from raytracer_tpu.ops.stream_t import auto_warm_levels
+
+    assert auto_warm_levels(180) == 0
+    assert auto_warm_levels(1080) == 1
+    assert auto_warm_levels(2160) == 0
+
+
 def test_pick_block_bounded():
     # block choice obeys the VMEM budget at production-scale dims
     for nt, ML in ((180, 896), (1440, 1408), (2880, 2944)):
