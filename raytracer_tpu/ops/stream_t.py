@@ -609,10 +609,12 @@ def _solve_stream_jit(src_m, src_c, src_cen, tbls, tol, tol_coarse,
 
 def auto_warm_levels(nt: int) -> int:
     """Measured warm-level policy (PERF_NOTES.md round 3): the coarse
-    chain pays off in the ~1000-1500-column regime (1080x300: 223 ->
-    173 ms) and washes out or loses at the extremes (tunnel-bound small
-    grids; 2160 columns where the fine refinement tail dominates)."""
-    return 1 if 1000 <= nt < 2000 else 0
+    chain pays off in a narrow column-count window around ~1080
+    (1080x300: 223 -> 167 ms) and loses outside it - small grids are
+    tunnel-bound, and at 1440+/2160 columns the fine refinement tail
+    needs nearly as many sweeps as a cold solve (cold 336/822 ms beat
+    every warm variant).  Empirical on v5e; revisit per hardware."""
+    return 1 if 1000 <= nt <= 1200 else 0
 
 
 def solve_circulant_stream(

@@ -139,7 +139,8 @@ def _ms_stages(cg, ws, static, halo, partition, levels, dtype):
 
 def _bfm_ms_stream(A, halo, source, gr, U, config, levels,
                    interpret: bool = False,
-                   want_prev: bool = True) -> BellmanFordMoore:
+                   want_prev: bool = True,
+                   _reuse: Optional[dict] = None) -> BellmanFordMoore:
     """bfm_ms on the circulant fast path (ops/stream_t.py staged solve):
     level masks become per-slot lane masks, the boundary restart a lane
     reset, and all stages run in one device dispatch.  ~100x faster than
@@ -152,16 +153,22 @@ def _bfm_ms_stream(A, halo, source, gr, U, config, levels,
     from ..ops.stream_t import _stream_tables, solve_stream_staged
     from ..ops.wrapped_t import pack_twrapped_stencil
 
-    partition = partition_grid(gr)
-    if levels is None:
-        levels = (1, 2 * partition.nlayers - 1)
     dtype = np.dtype(config.dtype)
-    cg = build_circulant(gr, A, halo, U, dtype=dtype)
-    # closure must stay off: closed-band entries are 2-hop compositions
-    # whose intermediate slot is not mask-checked
-    ws = pack_twrapped_stencil(cg, dtype=dtype, band_closure=0)
-    _, static = _stream_tables(ws, dtype)
-    stages = _ms_stages(cg, ws, static, halo, partition, levels, dtype)
+    key = ("ms_setup", tuple(levels) if levels else None)
+    if _reuse is not None and key in _reuse:
+        cg, ws, static, partition, stages, levels = _reuse[key]
+    else:
+        partition = partition_grid(gr)
+        if levels is None:
+            levels = (1, 2 * partition.nlayers - 1)
+        cg = build_circulant(gr, A, halo, U, dtype=dtype)
+        # closure must stay off: closed-band entries are 2-hop
+        # compositions whose intermediate slot is not mask-checked
+        ws = pack_twrapped_stencil(cg, dtype=dtype, band_closure=0)
+        _, static = _stream_tables(ws, dtype)
+        stages = _ms_stages(cg, ws, static, halo, partition, levels, dtype)
+        if _reuse is not None:
+            _reuse[key] = (cg, ws, static, partition, stages, levels)
     dist, _ = solve_stream_staged(cg, ws, stages, [source], config,
                                   interpret=interpret)
     dist = dist[0]
@@ -184,6 +191,7 @@ def bfm_ms(
     method: str = "ell",
     interpret: bool = False,
     want_prev: bool = True,
+    _reuse: Optional[dict] = None,
 ) -> BellmanFordMoore:
     """Multi-stage BFM (src/SSSP/bfm_new_ms.jl:30-138).
 
@@ -197,8 +205,12 @@ def bfm_ms(
     reference implementation the fast path is equality-tested against.
     """
     if method == "stream":
+        # pass a dict as _reuse to amortise the one-time circulant pack
+        # (~3 s host work at 180x63) across repeated solves - the solve
+        # itself is ~56 ms
         return _bfm_ms_stream(A, halo, source, gr, U, config, levels,
-                              interpret=interpret, want_prev=want_prev)
+                              interpret=interpret, want_prev=want_prev,
+                              _reuse=_reuse)
     partition = partition_grid(gr)
     if levels is None:
         levels = (1, 2 * partition.nlayers - 1)

@@ -51,12 +51,15 @@ def _region_mask_above(partition, k: int) -> np.ndarray:
            ((partition.boundary_of >= 1) & (partition.boundary_of <= k))
 
 
-def _phase_setup(A, halo, gr, U, k: int, config):
+def _phase_setup(A, halo, gr, U, k: int, config, _reuse=None):
     from ..ops.circulant import build_circulant
     from ..ops.stream_t import _stream_tables, masked_stream_tables
     from ..ops.wrapped_t import pack_twrapped_stencil
     from .multiphase import _halo_slot_map, _lane_mask_of
 
+    key = ("phase_setup", k)
+    if _reuse is not None and key in _reuse:
+        return _reuse[key]
     partition = partition_grid(gr)
     dtype = np.dtype(config.dtype)
     cg = build_circulant(gr, A, halo, U, dtype=dtype)
@@ -69,7 +72,10 @@ def _phase_setup(A, halo, gr, U, k: int, config):
     tables = masked_stream_tables(ws, lane[: ws.Mp], cen_on, dtype)
     bmask = partition.boundary_of == k
     keep = _lane_mask_of(cg, ws, bmask)
-    return cg, ws, static, tables, lane, keep, halo_map
+    out = (cg, ws, static, tables, lane, keep, halo_map)
+    if _reuse is not None:
+        _reuse[key] = out
+    return out
 
 
 def region_travel_times(
@@ -81,6 +87,7 @@ def region_travel_times(
     reflector: str = "cmb",
     config: SolverConfig = DEFAULT_SOLVER_CONFIG,
     interpret: bool = False,
+    _reuse: Optional[dict] = None,
 ) -> np.ndarray:
     """(n,) single-leg field: SSSP restricted to the region above the
     reflector (the 'down leg' primitive; reflected_travel_times composes
@@ -91,7 +98,7 @@ def region_travel_times(
 
     k = REFLECTORS[reflector.lower()]
     cg, ws, static, tables, lane, _, halo_map = _phase_setup(
-        A, halo, gr, U, k, config)
+        A, halo, gr, U, k, config, _reuse=_reuse)
     stages = [StageSpec(tables=tables, static=static, sel_mask=lane,
                         halo_map=halo_map)]
     dist, _ = solve_stream_staged(cg, ws, stages, [source], config,
@@ -108,15 +115,18 @@ def reflected_travel_times(
     reflector: str = "cmb",
     config: SolverConfig = DEFAULT_SOLVER_CONFIG,
     interpret: bool = False,
+    _reuse: Optional[dict] = None,
 ) -> np.ndarray:
     """(n,) first-arrival times of the branch reflected at `reflector`
     (PcP with U = Vp, ScS with U = Vs).  Two region-masked stages in one
-    device dispatch; nodes outside the region return +inf."""
+    device dispatch; nodes outside the region return +inf.  Pass a dict
+    as `_reuse` to amortise the one-time circulant pack (~3 s host) over
+    repeated solves (~0.1 s each)."""
     from ..ops.stream_t import StageSpec, solve_stream_staged
 
     k = REFLECTORS[reflector.lower()]
     cg, ws, static, tables, lane, keep, halo_map = _phase_setup(
-        A, halo, gr, U, k, config)
+        A, halo, gr, U, k, config, _reuse=_reuse)
     stages = [
         StageSpec(tables=tables, static=static, sel_mask=lane,
                   halo_map=halo_map),

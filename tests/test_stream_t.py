@@ -242,6 +242,7 @@ def test_auto_warm_levels_window():
 
     assert auto_warm_levels(180) == 0
     assert auto_warm_levels(1080) == 1
+    assert auto_warm_levels(1440) == 0
     assert auto_warm_levels(2160) == 0
 
 
