@@ -306,17 +306,24 @@ def solve3d(
     pending = []
     plan = packed.plan
     statics = (plan.n1, plan.BR, plan.NB, plan.L0, plan.H8, packed.shape)
+    # NOTE: not dcache.setdefault(key, jnp.asarray(...)) — setdefault
+    # evaluates its default EAGERLY, which would dispatch the ~109 MB
+    # weight upload on every call (~0.8 s over the tunnel) and discard
+    # it.  This exact bug cost 6x on 3-D solves in round 3.
+    key = "W4" if engine == "pallas" else "W"
+    if key not in packed.dcache:
+        packed.dcache[key] = jnp.asarray(
+            packed.plan.W4 if engine == "pallas" else packed.W_np)
+    Wdev = packed.dcache[key]
     for src in sources:
         # flat id layout: theta fastest (grid3d.py:27)
         if engine == "pallas":
-            W4 = packed.dcache.setdefault("W4", jnp.asarray(packed.plan.W4))
-            st = _solve3d_kernel_jit(np.int32(src), W4,
+            st = _solve3d_kernel_jit(np.int32(src), Wdev,
                                      packed.scan_costs, tol, statics,
                                      config.max_iters, scan_every,
                                      sweeps, interpret)
         else:
-            W = packed.dcache.setdefault("W", jnp.asarray(packed.W_np))
-            st = _solve3d_jit(np.int32(src), W, packed.scan_costs, tol,
+            st = _solve3d_jit(np.int32(src), Wdev, packed.scan_costs, tol,
                               config.max_iters, scan_every)
         pending.append(_flat3d_it(st.dist, st.it) if ridx is None
                        else _gather3d_it(st.dist, st.it, ridx))
