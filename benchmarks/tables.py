@@ -159,8 +159,8 @@ def bench_3d(rows, root, cache_dir):
     n0, n1, n2 = g.nnods
     ii, jj = np.meshgrid(np.arange(0, n0, 4), np.arange(0, n1, 4))
     receivers = ((n2 - 1) * n1 * n0 + jj.ravel() * n0 + ii.ravel()).astype(np.int64)
-    solve3d(g, U, sources[:1], cfg, _packed=packed,
-            receivers=receivers)  # compile
+    solve3d(g, U, sources[:8], cfg, _packed=packed,
+            receivers=receivers)  # compile (auto source batch)
     dt = float("inf")
     for _ in range(2):
         t0 = time.time()
@@ -177,10 +177,11 @@ def bench_3d(rows, root, cache_dir):
         "ms_per_source": round(dt / len(sources) * 1e3),
         "total_s": round(dt, 2),
         "iters": iters,
-        "notes": "Pallas multi-sweep kernel (ops/sweep3d.py); receiver-only "
-                 "device->host pulls with the iteration count bundled into "
-                 "the result array (one pull per source); no reference "
-                 "numbers exist (legacy CUDA 3-D was removed upstream)",
+        "notes": "Pallas multi-sweep kernel (ops/sweep3d.py), auto source "
+                 "batching (7 fields share each 109 MB weight stream per "
+                 "sweep); receiver-only device->host pulls, iteration count "
+                 "bundled (one pull per group); no reference numbers exist "
+                 "(legacy CUDA 3-D was removed upstream)",
     })
 
 

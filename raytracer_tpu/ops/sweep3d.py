@@ -88,12 +88,19 @@ def plan_sweep3d(W: np.ndarray, block_rows: int = 1024) -> Sweep3DPlan:
 
 
 def _make_sweep3d_kernel(n1: int, BR: int, NB: int, L0: int, H8: int,
-                         T: int):
+                         T: int, S: int = 1):
+    """S > 1 batches sources through ONE weight stream: grid gains a
+    trailing (fastest-varying) source dimension, so consecutive grid
+    steps revisit the same W block and Pallas skips its re-DMA - the
+    109 MB/sweep HBM weight traffic is amortised over all S fields
+    (each field has its own ping-pong page pair in scratch)."""
     G = H8 + NB * BR + H8  # one ping-pong page: global inf pads + rows
 
     def kernel(w_ref, din_ref, out_ref, buf_ref):
         t = pl.program_id(0)   # 0 = load round, 1..T = sweep rounds
         b = pl.program_id(1)
+        q = pl.program_id(2) if S > 1 else 0   # source slot
+        base = q * (2 * G)
         inf = jnp.asarray(jnp.inf, out_ref.dtype)
 
         @pl.when(t == 0)
@@ -102,10 +109,10 @@ def _make_sweep3d_kernel(n1: int, BR: int, NB: int, L0: int, H8: int,
             def _pads():
                 pad = jnp.full((H8, L0), inf, out_ref.dtype)
                 for page in range(2):
-                    buf_ref[pl.ds(page * G, H8), :] = pad
-                    buf_ref[pl.ds(page * G + H8 + NB * BR, H8), :] = pad
+                    buf_ref[pl.ds(base + page * G, H8), :] = pad
+                    buf_ref[pl.ds(base + page * G + H8 + NB * BR, H8), :] = pad
 
-            buf_ref[pl.ds(H8 + b * BR, BR), :] = din_ref[0]
+            buf_ref[pl.ds(base + H8 + b * BR, BR), :] = din_ref[0, 0]
 
         @pl.when(t > 0)
         def _sweep():
@@ -114,8 +121,8 @@ def _make_sweep3d_kernel(n1: int, BR: int, NB: int, L0: int, H8: int,
             # STATIC (possibly unaligned -> register-level copies) slices
             # of the slab value - dynamic-offset per-tap reads lowered to
             # serialized local DMAs and ran 9x slower.
-            src_page = ((t - 1) % 2) * G
-            dst_page = (t % 2) * G
+            src_page = base + ((t - 1) % 2) * G
+            dst_page = base + (t % 2) * G
             slab = buf_ref[pl.ds(src_page + b * BR, BR + 2 * H8), :]
             acc = slab[H8:H8 + BR, :]
             for s, (dk, dj, di) in enumerate(SHIFTS3):
@@ -125,7 +132,7 @@ def _make_sweep3d_kernel(n1: int, BR: int, NB: int, L0: int, H8: int,
                     cand = pltpu.roll(cand, (-di) % L0, axis=1)
                 acc = jnp.minimum(acc, cand + w_ref[0, s])
             buf_ref[pl.ds(dst_page + H8 + b * BR, BR), :] = acc
-            out_ref[0] = acc
+            out_ref[0, 0] = acc
 
     return kernel
 
@@ -137,35 +144,56 @@ def sweep3d_T(dist_flat: jax.Array, W4: jax.Array, n1: int, BR: int,
               NB: int, L0: int, H8: int, T: int,
               interpret: bool = False) -> jax.Array:
     """T relaxation sweeps of the flat (NB*BR, L0) field."""
-    assert T >= 1, "sweep3d_T needs at least one sweep round (out is only written in rounds t >= 1)"
-    kernel = _make_sweep3d_kernel(n1, BR, NB, L0, H8, T)
-    G = H8 + NB * BR + H8
-    din = dist_flat.reshape(NB, BR, L0)
+    out = sweep3d_T_batched(dist_flat[None], W4, n1, BR, NB, L0, H8, T,
+                            interpret)
+    return out[0]
 
+
+@functools.partial(jax.jit,
+                   static_argnames=("n1", "BR", "NB", "L0", "H8", "T",
+                                    "interpret"))
+def sweep3d_T_batched(dist_flat: jax.Array, W4: jax.Array, n1: int,
+                      BR: int, NB: int, L0: int, H8: int, T: int,
+                      interpret: bool = False) -> jax.Array:
+    """T relaxation sweeps of S flat fields (S, NB*BR, L0) sharing one
+    pass of the streamed weights per sweep (see _make_sweep3d_kernel)."""
+    assert T >= 1, "needs at least one sweep round (out is only written in rounds t >= 1)"
+    S = dist_flat.shape[0]
+    kernel = _make_sweep3d_kernel(n1, BR, NB, L0, H8, T, S)
+    G = H8 + NB * BR + H8
+    din = dist_flat.reshape(S, NB, BR, L0)
+
+    grid = (T + 1, NB) if S == 1 else (T + 1, NB, S)
+    if S == 1:
+        w_map = lambda t, b: (b, 0, 0, 0)
+        f_map = lambda t, b: (0, b, 0, 0)
+    else:
+        # source fastest: consecutive steps keep the same W block resident
+        w_map = lambda t, b, q: (b, 0, 0, 0)
+        f_map = lambda t, b, q: (q, b, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(T + 1, NB),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1,) + W4.shape[1:], lambda t, b: (b, 0, 0, 0),
+            pl.BlockSpec((1,) + W4.shape[1:], w_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BR, L0), lambda t, b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BR, L0), f_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BR, L0), lambda t, b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, BR, L0), f_map,
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2 * G, L0), dist_flat.dtype)],
+        scratch_shapes=[pltpu.VMEM((S * 2 * G, L0), dist_flat.dtype)],
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((NB, BR, L0), dist_flat.dtype),
+        out_shape=jax.ShapeDtypeStruct((S, NB, BR, L0), dist_flat.dtype),
         grid_spec=grid_spec,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",) * len(grid),
         ),
         interpret=interpret,
     )(W4, din)
-    return out.reshape(NB * BR, L0)
+    return out.reshape(S, NB * BR, L0)
 
 
 def pack_field(dist3: jax.Array, plan: Sweep3DPlan) -> jax.Array:

@@ -178,16 +178,25 @@ def prepare3d(gr: Grid3D, U: np.ndarray, config: SolverConfig = DEFAULT_SOLVER_C
                     shape=(n2, n1, n0), plan=plan, dcache={})
 
 
-def _kernel_vmem_bytes(plan, itemsize: int) -> int:
-    """Rough VMEM footprint of the sweep3d kernel: ping-pong scratch +
-    double-buffered W slab + in/out blocks + the 27 slab/tap statement
-    temps per block."""
+def _kernel_vmem_bytes(plan, itemsize: int, S: int = 1) -> int:
+    """Rough VMEM footprint of the sweep3d kernel: ping-pong scratch
+    (per source in the batched kernel) + double-buffered W slab +
+    in/out blocks + the 27 slab/tap statement temps per block."""
     G = plan.H8 + plan.NB * plan.BR + plan.H8
     blk = plan.BR * plan.L0
-    return itemsize * (2 * G * plan.L0        # ping-pong pages
+    return itemsize * (S * 2 * G * plan.L0    # ping-pong pages
                        + 2 * 26 * blk         # W4 block, double-buffered
                        + 4 * blk              # din/out blocks, buffered
                        + 27 * blk)            # slab + tap temps
+
+
+def _auto_source_batch(plan, itemsize: int, nsources: int) -> int:
+    """Largest source-group size (<= 8) whose kernel VMEM estimate fits
+    the 100 MB budget."""
+    S = min(8, max(1, nsources))
+    while S > 1 and _kernel_vmem_bytes(plan, itemsize, S) >= 100 * 2**20:
+        S -= 1
+    return S
 
 
 @functools.partial(jax.jit, static_argnames=("statics", "max_iters",
@@ -238,6 +247,77 @@ def _solve3d_kernel_jit(src, W4, scan_costs, tol, statics,
                         out.changed, out.it)
 
 
+@functools.partial(jax.jit, static_argnames=("statics", "max_iters",
+                                             "scan_every", "sweeps", "S",
+                                             "interpret"))
+def _solve3d_kernel_batched_jit(srcs, W4, scan_costs, tol, statics,
+                                max_iters: int, scan_every: int,
+                                sweeps: int, S: int, interpret: bool):
+    """S sources per dispatch through the batched sweep kernel: the
+    109 MB/sweep weight stream is read once per sweep for the whole
+    group (ops/sweep3d.py), so per-source device cost drops ~1/S.  The
+    group iterates until the LAST source converges (same fixpoint per
+    source; label-correcting extra sweeps are no-ops)."""
+    from ..ops.sweep3d import sweep3d_T_batched
+
+    n1, BR, NB, L0, H8, shape = statics
+    n2, _, n0 = shape
+    rows = n2 * n1
+    dtype = W4.dtype
+    flat0 = jnp.full((S, NB * BR, L0), jnp.inf, dtype)
+    srcs = srcs.astype(jnp.int32)
+    k = srcs // n0
+    i = srcs % n0
+    flat0 = flat0.at[jnp.arange(S), k, i].set(0.0)
+
+    def scans_one(d3):
+        for axis, (cf, cb) in enumerate(scan_costs):
+            d3 = _axis_scan(d3, cf, cb, axis)
+        return d3
+
+    def scans(f):
+        d = f[:, :rows, :n0].reshape((S,) + shape)
+        d = jax.vmap(scans_one)(d)
+        return f.at[:, :rows, :n0].set(d.reshape(S, rows, n0))
+
+    def cond(s: Solve3DState):
+        return s.changed & (s.it < max_iters)
+
+    def body(s: Solve3DState):
+        f = s.dist
+        if scan_every > 0:
+            f = jax.lax.cond(s.it % max(scan_every, sweeps) < sweeps,
+                             scans, lambda x: x, f)
+        f = sweep3d_T_batched(f, W4, n1, BR, NB, L0, H8, sweeps, interpret)
+        changed = jnp.any(f < s.dist - tol)
+        return Solve3DState(f, changed, s.it + sweeps)
+
+    out = jax.lax.while_loop(cond, body,
+                             Solve3DState(flat0, jnp.asarray(True),
+                                          jnp.zeros((), jnp.int32)))
+    return Solve3DState(out.dist[:, :rows, :n0].reshape((S,) + shape),
+                        out.changed, out.it)
+
+
+@jax.jit
+def _gather3d_it_batched(dist, it, idx):
+    """(S, n_receivers + 1): receiver values per source with the group
+    iteration count appended to every row - ONE array, ONE pull per
+    source group."""
+    S = dist.shape[0]
+    vals = dist.reshape(S, -1)[:, idx]
+    itcol = jnp.broadcast_to(it.astype(vals.dtype), (S, 1))
+    return jnp.concatenate([vals, itcol], axis=1)
+
+
+@jax.jit
+def _flat3d_it_batched(dist, it):
+    S = dist.shape[0]
+    flat = dist.reshape(S, -1)
+    itcol = jnp.broadcast_to(it.astype(flat.dtype), (S, 1))
+    return jnp.concatenate([flat, itcol], axis=1)
+
+
 @jax.jit
 def _gather3d_it(dist, it, idx):
     """Receiver values with the iteration count appended - ONE array,
@@ -259,10 +339,11 @@ def solve3d(
     U: np.ndarray,
     sources: Sequence[int],
     config: SolverConfig = DEFAULT_SOLVER_CONFIG,
-    scan_every: int = 8,
+    scan_every: int = None,
     receivers=None,
     engine: str = "auto",
     sweeps: int = 8,
+    source_batch: int = 0,
     interpret: bool = False,
     _packed: Packed3D = None,
 ) -> Tuple[np.ndarray, int]:
@@ -274,10 +355,19 @@ def solve3d(
     engine: 'pallas' = the multi-sweep VMEM-resident kernel
     (ops/sweep3d.py, `sweeps` relaxations per dispatch); 'xla' = the
     jnp roll sweep; 'auto' picks pallas on TPU.  Identical fixpoint.
-    scan_every: axis-scan cadence in iterations (0 = never; the scans
-    only accelerate convergence, measured nearly redundant with the
-    dense 26-tap sweep: 87 -> 104 iterations without them at 1M nodes
-    while per-iteration cost drops 3.7x).
+    scan_every: axis-scan cadence in iterations (0 = never; None =
+    engine default).  The scans only accelerate convergence (136 -> 152
+    iterations without them at 1M nodes) but cost ~3.8 ms/firing per
+    source and do NOT share the batched kernel's weight stream, so on
+    the pallas engine they lose outright (64-source table: 9 ms/source
+    without vs 51 with) - default 0 there, 8 on the XLA engine where
+    the sweep itself is the expensive part.
+
+    source_batch: sources per kernel dispatch on the pallas engine
+    (0 = auto by VMEM estimate, typically 4 at 1M nodes; 1 = the
+    single-source kernel).  Batched groups share one weight stream per
+    sweep, so per-source device cost drops ~1/batch; the group runs
+    until its last source converges (fixpoint per source unchanged).
 
     The star-0 stencil solve; star-1 graphs (element-neighbour expansion)
     fall back to the generic ELL solver (bfm.bfm3d).
@@ -297,6 +387,8 @@ def solve3d(
         on_tpu = _jax.devices()[0].platform == "tpu"
         fits = _kernel_vmem_bytes(packed.plan, dtype.itemsize) < 100 * 2**20
         engine = "pallas" if (on_tpu and fits) else "xla"
+    if scan_every is None:
+        scan_every = 0 if engine == "pallas" else 8
 
     ncol = gr.nnods_total if receivers is None else len(ridx)
     out = np.empty((len(sources), ncol), dtype=dtype)
@@ -315,6 +407,35 @@ def solve3d(
         packed.dcache[key] = jnp.asarray(
             packed.plan.W4 if engine == "pallas" else packed.W_np)
     Wdev = packed.dcache[key]
+    if engine == "pallas":
+        S = (source_batch if source_batch > 0
+             else _auto_source_batch(plan, dtype.itemsize, len(sources)))
+    else:
+        S = 1
+    if S > 1:
+        # flat id layout: theta fastest (grid3d.py:27)
+        groups = [sources[lo:lo + S] for lo in range(0, len(sources), S)]
+        for grp in groups:
+            g_src = np.asarray(grp, dtype=np.int32)
+            if len(g_src) < S:   # pad the tail group with its last source
+                g_src = np.concatenate(
+                    [g_src, np.full(S - len(g_src), g_src[-1], np.int32)])
+            st = _solve3d_kernel_batched_jit(g_src, Wdev,
+                                             packed.scan_costs, tol,
+                                             statics, config.max_iters,
+                                             scan_every, sweeps, S,
+                                             interpret)
+            pending.append((len(grp),
+                            _flat3d_it_batched(st.dist, st.it) if ridx is None
+                            else _gather3d_it_batched(st.dist, st.it, ridx)))
+        iters = 0
+        si = 0
+        for ngrp, vals_it in pending:
+            arr = np.asarray(vals_it)
+            out[si:si + ngrp] = arr[:ngrp, :-1]
+            iters = max(iters, int(arr[0, -1]))
+            si += ngrp
+        return out, iters
     for src in sources:
         # flat id layout: theta fastest (grid3d.py:27)
         if engine == "pallas":

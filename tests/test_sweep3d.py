@@ -21,6 +21,7 @@ from raytracer_tpu.ops.sweep3d import (
     pack_field,
     plan_sweep3d,
     sweep3d_T,
+    sweep3d_T_batched,
     unpack_field,
 )
 
@@ -56,6 +57,46 @@ def test_sweep3d_matches_xla_sweep(dims):
     got3 = unpack_field(got, plan)
     np.testing.assert_allclose(np.asarray(got3), np.asarray(ref),
                                rtol=1e-6, atol=1e-5)
+
+
+def test_sweep3d_batched_matches_single():
+    # S fields through the shared-weight-stream kernel == S independent
+    # single-field dispatches
+    g, U = _wedge((8, 8, 3))
+    W = _shifted_weights(g, U, np.float32)
+    plan = plan_sweep3d(W, block_rows=32)
+    rng = np.random.default_rng(1)
+    fields = rng.uniform(0.0, 50.0, size=(3,) + plan.shape).astype(np.float32)
+
+    flat = jnp.stack([pack_field(jnp.asarray(f), plan) for f in fields])
+    got = sweep3d_T_batched(flat, jnp.asarray(plan.W4), plan.n1, plan.BR,
+                            plan.NB, plan.L0, plan.H8, 3, interpret=True)
+    for s in range(3):
+        ref = sweep3d_T(flat[s], jnp.asarray(plan.W4), plan.n1, plan.BR,
+                        plan.NB, plan.L0, plan.H8, 3, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got[s]), np.asarray(ref))
+
+
+@pytest.mark.parametrize("scan_every", [0, 8])
+def test_solve3d_source_batched_matches_single(scan_every):
+    # groups (incl. a padded tail group: 3 sources at batch 2) must
+    # reproduce the per-source solves exactly, full-field and receivers
+    g, U = _wedge((9, 6, 5))
+    packed = prepare3d(g, U, F32)
+    srcs = [len(g) // 2, 3, len(g) - 2]
+    d_one, it1 = solve3d(g, U, srcs, F32, scan_every=scan_every,
+                         engine="pallas", interpret=True,
+                         source_batch=1, _packed=packed)
+    d_bat, itb = solve3d(g, U, srcs, F32, scan_every=scan_every,
+                         engine="pallas", interpret=True,
+                         source_batch=2, _packed=packed)
+    assert itb >= it1 > 0  # group runs to the slowest member
+    np.testing.assert_allclose(d_bat, d_one, rtol=1e-6, atol=5e-3)
+    recs = [0, len(g) // 3, len(g) - 1]
+    tab, _ = solve3d(g, U, srcs, F32, scan_every=scan_every,
+                     engine="pallas", interpret=True, source_batch=2,
+                     receivers=recs, _packed=packed)
+    np.testing.assert_array_equal(tab, d_bat[:, recs])
 
 
 @pytest.mark.parametrize("scan_every", [0, 8])
