@@ -40,7 +40,10 @@ CONFIGS = {
              (180, 90, "P"), (720, 200, "S"), (1080, 300, "P"),
              # the >=1M-node regime the reference (and the monolithic
              # kernel) could not hold: streamed theta-major path
-             (1440, 400, "P", 10.0), (2160, 600, "P", 10.0)],
+             (1440, 400, "P", 10.0), (2160, 600, "P", 10.0),
+             # 6.85M nodes, ~15x the reference's largest published run
+             # (464,590): first full build ~2 min (then grid-cached)
+             (2880, 800, "P", 5.0)],
     "small": [(90, 32, "P"), (180, 63, "P")],
     "tiny": [(45, 16, "P")],
 }
@@ -96,6 +99,18 @@ def main():
         # is strictly additive noise
         t_bfm = float(np.min(times))
 
+        # device-resident result (the reference bfm_gpu's contract: no
+        # device->host field copy in the timed region; the iters pull
+        # syncs convergence) - same compiled program, smaller pull
+        kwd = {"want_prev": False, "device_dist": True}
+        solver.solve(source, **kwd)  # warm the small-pull path
+        times_d = []
+        for _ in range(5):
+            t0 = time.time()
+            solver.solve(source, **kwd)
+            times_d.append(time.time() - t0)
+        t_dev = float(np.min(times_d))
+
         ref = REF.get((ntheta, nr), (float("nan"),) * 3)
         row = {
             "nodes": gr.nnods,
@@ -105,6 +120,7 @@ def main():
             "spacing_km": spacing,
             "build_s": round(t_build, 3),
             "bfm_tpu_s": round(t_bfm, 4),
+            "bfm_tpu_dev_s": round(t_dev, 4),
             "method": solver.method,
             "iters": solver.last_iterations,
             "ref_cpu1t_s": ref[0],
@@ -125,6 +141,10 @@ def main():
             "# ref_* columns: GPU_*_star1_NOreorder(_new).csv from /root/reference.\n"
             "# bfm_tpu_s: single-source steady-state solve, one TPU v5e chip, f32,\n"
             "# min of 5 (includes the full-field device->host pull, ~28 ms floor).\n"
+            "# bfm_tpu_dev_s: same solve, device-resident result (the reference\n"
+            "# bfm_gpu contract - CuArrays returned, no D->H field copy in the\n"
+            "# timed region, src/SSSP/bfm_gpu.jl:207-247); convergence is synced\n"
+            "# by the iteration-count pull.\n"
             "# 720x200 row: IASP91 Vs (S-wave), BASELINE config #3; no reference\n"
             "# rows exist at this size.\n"
         )

@@ -505,13 +505,21 @@ class WrappedState(NamedTuple):
     it: jax.Array
 
 
-def _pipelined_chunk_solve(sources, S: int, n_out: int, dtype, dispatch):
+def _pipelined_chunk_solve(sources, S: int, n_out: int, dtype, dispatch,
+                           device_out: bool = False):
     """Shared chunked-solve protocol of the batched kernels: pad the last
     chunk by repeating its final source, dispatch every chunk
     asynchronously via `dispatch(chunk) -> (S, n_out+1)` (iteration count
     in the last column), then materialise results in a second pass - the
-    ~28 ms tunnel round trip is paid once per call, not per chunk."""
-    out = np.empty((len(sources), n_out), dtype=dtype)
+    ~28 ms tunnel round trip is paid once per call, not per chunk.
+
+    device_out=True leaves the distance rows on device (one jax array)
+    and pulls only the iteration counts - the parity point of the
+    reference GPU solver, whose `bfm_gpu` returns CuArrays without a
+    device->host copy (src/SSSP/bfm_gpu.jl:207-247).  The iters pull
+    synchronises full convergence (it depends on the whole while_loop);
+    the field transfer cost (~15 ms/MB over the tunnel) is paid only by
+    consumers that materialise it."""
     pending = []
     for lo in range(0, len(sources), S):
         chunk = sources[lo:lo + S]
@@ -519,6 +527,15 @@ def _pipelined_chunk_solve(sources, S: int, n_out: int, dtype, dispatch):
         if n_real < S:
             chunk = np.concatenate([chunk, np.full(S - n_real, chunk[-1])])
         pending.append((lo, n_real, dispatch(chunk)))
+    if device_out:
+        rows = [vals_it[:n_real, :-1] for _, n_real, vals_it in pending]
+        dist = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+        # one sync for the whole call: every chunk's iteration count in
+        # a single small pull (a second blocking fetch would cost a full
+        # extra ~28 ms round trip)
+        its = np.asarray(jnp.stack([v[0, -1] for _, _, v in pending]))
+        return dist, int(its.max())
+    out = np.empty((len(sources), n_out), dtype=dtype)
     iters = 0
     for lo, n_real, vals_it in pending:
         arr = np.asarray(vals_it)
@@ -626,6 +643,7 @@ def solve_circulant_wrapped(
     receivers=None,
     weight_mode: str = "reduce",
     pre_roll: bool = False,
+    device_out: bool = False,
     _packed: WrappedStencil = None,
 ) -> Tuple[np.ndarray, int]:
     """Solve source(s) with the full-iteration wrapped-lane kernel.
@@ -679,4 +697,5 @@ def solve_circulant_wrapped(
         )
         return _extract_jit(st.dist, st.dcen, st.it, jm, jc, jcm, jv, S, NTL)
 
-    return _pipelined_chunk_solve(sources, S, n_out, dtype, dispatch)
+    return _pipelined_chunk_solve(sources, S, n_out, dtype, dispatch,
+                                  device_out=device_out)

@@ -626,11 +626,13 @@ def solve_circulant_stream(
     warm_levels: int = None,
     batch: int = 1,
     receivers=None,
+    device_out: bool = False,
     _packed: TWStencil = None,
 ) -> Tuple[np.ndarray, int]:
     """Streamed theta-major solve; API mirrors solve_circulant_twrapped
     (sources chunked, asynchronous dispatch, one sync per call, optional
-    on-device receiver extraction).  Works at any grid size.
+    on-device receiver extraction, device_out for device-resident rows).
+    Works at any grid size.
 
     warm_levels > 0 runs the coarse-to-fine chain (exact; see module
     docstring); None takes config.warm_levels.
@@ -669,4 +671,5 @@ def solve_circulant_stream(
         return _textract_jit(st.dist.reshape(S * nt, ML), cen2d, st.it,
                              jm, jc, jcm, jv, S, nt)
 
-    return _pipelined_chunk_solve(sources, S, n_out, dtype, dispatch)
+    return _pipelined_chunk_solve(sources, S, n_out, dtype, dispatch,
+                                  device_out=device_out)

@@ -509,11 +509,14 @@ def solve_circulant_twrapped(
     band_closure: int = 0,
     batch: int = 1,
     receivers=None,
+    device_out: bool = False,
     _packed: TWStencil = None,
 ) -> Tuple[np.ndarray, int]:
     """Theta-major full-iteration solve; API mirrors
     solve_circulant_wrapped (sources batched as NTT-row blocks, optional
-    on-device receiver extraction).  Check `supports_twrapped(cg)`."""
+    on-device receiver extraction).  Check `supports_twrapped(cg)`.
+    device_out=True returns the rows as a device-resident jax array
+    (see `_pipelined_chunk_solve`)."""
     if not supports_twrapped(cg):
         raise ValueError("theta-major kernel unsupported for this ntheta; "
                          "use solve_circulant_wrapped/diag")
@@ -547,4 +550,5 @@ def solve_circulant_twrapped(
         return _textract_jit(st.dist, st.dcen, st.it, jm, jc, jcm, jv,
                              S, NTT)
 
-    return _pipelined_chunk_solve(sources, S, n_out, dtype, dispatch)
+    return _pipelined_chunk_solve(sources, S, n_out, dtype, dispatch,
+                                  device_out=device_out)

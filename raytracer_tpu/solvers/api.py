@@ -130,12 +130,14 @@ class AnnulusSolver:
         return self._method
 
     def _dist_batch(self, sources: Sequence[int],
-                    receivers=None, batch: int = 8) -> np.ndarray:
+                    receivers=None, batch: int = 8,
+                    device_out: bool = False) -> np.ndarray:
         """(S, n) distance fields for a batch of sources; with `receivers`,
         (S, n_receivers) — extracted on device where the method supports it
         (the full-field device->host pull dominates table workloads).
         `batch` bounds the per-dispatch source block of the batched
-        kernels (VMEM scales with it)."""
+        kernels (VMEM scales with it).  device_out=True keeps the rows
+        device-resident on the kernel paths (ignored by fallbacks)."""
         if self._method == "twrapped":
             from ..ops.wrapped_t import (
                 max_twrapped_batch,
@@ -158,7 +160,7 @@ class AnnulusSolver:
                 dist, iters = solve_circulant_twrapped(
                     self.circulant, sources, self.config,
                     batch=min(batch, smax, len(sources)),
-                    receivers=receivers,
+                    receivers=receivers, device_out=device_out,
                     _packed=self._twrapped_stencil
                 )
                 self.last_iterations = iters
@@ -176,7 +178,7 @@ class AnnulusSolver:
                 self.circulant, sources, self.config,
                 band_closure=self.config.band_closure,
                 batch=min(batch, len(sources)), receivers=receivers,
-                _packed=self._twrapped_stencil
+                device_out=device_out, _packed=self._twrapped_stencil
             )
             self.last_iterations = iters
             return dist
@@ -190,7 +192,7 @@ class AnnulusSolver:
             dist, iters = solve_circulant_wrapped(
                 self.circulant, sources, self.config,
                 batch=min(batch, len(sources)), receivers=receivers,
-                _packed=self._wrapped_stencil
+                device_out=device_out, _packed=self._wrapped_stencil
             )
             self.last_iterations = iters
             return dist
@@ -229,10 +231,18 @@ class AnnulusSolver:
             return np.stack(rows)
         return np.stack([_bfm.solve(self.ell, int(s), self.config).dist for s in sources])
 
-    def solve(self, source: int, want_prev: bool = True) -> BellmanFordMoore:
+    def solve(self, source: int, want_prev: bool = True,
+              device_dist: bool = False) -> BellmanFordMoore:
+        """Single-source solve.  device_dist=True (kernel paths only)
+        returns `dist` as a device-resident jax array after the solve has
+        fully converged (the iteration count is pulled, which syncs the
+        whole while_loop) — the same contract as the reference GPU
+        solver, whose bfm_gpu returns CuArrays without a device->host
+        copy (src/SSSP/bfm_gpu.jl:207-247).  `np.asarray(D.dist)`
+        materialises on demand."""
         if self.circulant is None:
             return _bfm.solve(self.ell, source, self.config)
-        dist = self._dist_batch([source])[0]
+        dist = self._dist_batch([source], device_out=device_dist)[0]
         if want_prev:
             from ..ops.circulant import recover_prev_device
 

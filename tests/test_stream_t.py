@@ -252,3 +252,17 @@ def test_pick_block_bounded():
         tb = _pick_block(nt, ML, 512, 4)
         need = (2 * 5 * tb * ML + 3 * tb * ML + 512 * ML) * 4
         assert need <= 64 * 1024 * 1024
+
+
+def test_stream_device_out_matches_materialised():
+    import jax
+
+    gr, cg = _setup(16, 4, 400.0)
+    degs = (0.0, 95.0, 200.0)
+    srcs = [rt.closest_point(gr, np.deg2rad(d), R, system="polar") for d in degs]
+    d_np, it_np = solve_circulant_stream(cg, srcs, F32, interpret=True, batch=2)
+    d_dev, it_dev = solve_circulant_stream(cg, srcs, F32, interpret=True,
+                                           batch=2, device_out=True)
+    assert isinstance(d_dev, jax.Array)
+    assert it_dev == it_np
+    np.testing.assert_array_equal(np.asarray(d_dev), d_np)

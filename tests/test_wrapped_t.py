@@ -222,3 +222,38 @@ def test_pack_twrapped_invariants():
         assert np.isinf(arr[..., ws.Mp:]).all()
     assert np.isinf(ws.cfl[:, :, ws.Mp:]).all()
     assert np.isinf(ws.cbl[:, :, ws.Mp:]).all()
+
+
+def test_twrapped_device_out_matches_materialised():
+    # device_out leaves rows on device (multi-chunk: batch=2 over 5
+    # sources) with only the iteration counts pulled; materialising the
+    # returned array must equal the host-materialised path bit-for-bit
+    import jax
+
+    gr, cg = _setup(20, 4, 400.0)
+    degs = (0.0, 95.0, 200.0, 310.0, 170.0)
+    srcs = [rt.closest_point(gr, np.deg2rad(d), R, system="polar") for d in degs]
+    d_np, it_np = solve_circulant_twrapped(cg, srcs, F32, sweeps_per_call=2,
+                                           interpret=True, batch=2)
+    d_dev, it_dev = solve_circulant_twrapped(cg, srcs, F32, sweeps_per_call=2,
+                                             interpret=True, batch=2,
+                                             device_out=True)
+    assert isinstance(d_dev, jax.Array)
+    assert it_dev == it_np
+    np.testing.assert_array_equal(np.asarray(d_dev), d_np)
+
+
+def test_solver_device_dist_api():
+    import jax
+
+    from raytracer_tpu.solvers.api import AnnulusSolver
+
+    gr, A, halo = rt.init_annulus(16, 4, spacing=400.0)
+    prof = rt.velocity_profile()
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = rt.interpolate_velocity(gr.r, interp)
+    solver = rt.AnnulusSolver(gr, A, halo, U, F32, method="circulant")
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    # jnp path ignores device_dist gracefully (np result)
+    D = solver.solve(src, want_prev=False, device_dist=True)
+    assert isinstance(D.dist, np.ndarray)
