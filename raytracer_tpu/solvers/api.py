@@ -52,8 +52,12 @@ class AnnulusSolver:
                      distance field; minutes-long first compile - use the
                      persistent compilation cache)
       'circulant' -> jnp circulant solver (row gathers; reliable compile)
+      'banded'    -> RCM-banded diagonal sweep (ops/banded.py): ANY
+                     graph, no gathers - the unstructured-mesh fast
+                     path (~60x the ELL path on TPU)
       'ell'       -> general padded-ELL solver (any graph, incl. 3-D)
-    Non-circulant meshes always fall back to 'ell'.
+    Non-circulant meshes fall back to 'banded' under auto on TPU,
+    'ell' elsewhere.
     """
 
     def __init__(
@@ -75,6 +79,7 @@ class AnnulusSolver:
         self.ell = None
         self.last_iterations: Optional[int] = None
 
+        fallback = "ell"
         if method == "auto":
             import jax
 
@@ -86,6 +91,10 @@ class AnnulusSolver:
                 # 118 ms, 828k: 223 vs 245, 1.74M: 385 vs 680) and has
                 # no VMEM ceiling
                 method = "twrapped" if gr.nnods <= 350_000 else "stream"
+                # non-circulant meshes: the gather-free banded sweep
+                # beats the ELL gather path by ~2 orders of magnitude on
+                # TPU (ops/banded.py)
+                fallback = "banded"
             else:
                 method = "circulant"
         self._requested = method
@@ -118,12 +127,22 @@ class AnnulusSolver:
             except CirculantError as e:
                 import warnings
 
-                warnings.warn(f"circulant layout unavailable ({e}); falling back to ELL")
-                self._method = "ell"
+                warnings.warn(f"circulant layout unavailable ({e}); "
+                              f"falling back to {fallback}")
+                self._method = fallback
+        elif method == "banded":
+            self._method = "banded"
         else:
             self._method = "ell"
+        self.banded = None
+        self._prev_rec = None
         if self.circulant is None:
-            self.ell = _bfm.prepare(A, halo, gr, U, config)
+            if self._method == "banded":
+                from ..ops.banded import prepare_banded
+
+                self.banded = prepare_banded(A, halo, gr, U, config)
+            else:
+                self.ell = _bfm.prepare(A, halo, gr, U, config)
 
     @property
     def method(self) -> str:
@@ -229,6 +248,12 @@ class AnnulusSolver:
                 self.last_iterations = iters
                 rows.append(d)
             return np.stack(rows)
+        if self._method == "banded":
+            from ..ops.banded import solve_banded
+
+            dist, iters = solve_banded(self.banded, list(sources), self.config)
+            self.last_iterations = iters
+            return dist
         return np.stack([_bfm.solve(self.ell, int(s), self.config).dist for s in sources])
 
     def solve(self, source: int, want_prev: bool = True,
@@ -241,6 +266,23 @@ class AnnulusSolver:
         copy (src/SSSP/bfm_gpu.jl:207-247).  `np.asarray(D.dist)`
         materialises on demand."""
         if self.circulant is None:
+            if self._method == "banded":
+                from ..ops.banded import solve_banded
+
+                dist, iters = solve_banded(self.banded, [source], self.config)
+                self.last_iterations = iters
+                dist = dist[0]
+                if want_prev:
+                    if self._prev_rec is None:
+                        from ..ops.circulant import PrevRecovery
+
+                        self._prev_rec = PrevRecovery(self.gr, self.A,
+                                                      self.halo, self.U)
+                    prev = self._prev_rec(np.asarray(dist, dtype=np.float64))
+                    prev[source] = source
+                else:
+                    prev = np.arange(len(dist))
+                return BellmanFordMoore(prev=prev, dist=dist)
             return _bfm.solve(self.ell, source, self.config)
         dist = self._dist_batch([source], device_out=device_dist)[0]
         if want_prev:
