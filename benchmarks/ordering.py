@@ -88,6 +88,31 @@ def main():
             f"{'SPEEDUP' if t_p < 0.9*t_nat else 'neutral' if t_p < 1.1*t_nat else 'SLOWER'}")
         assert ok, f"{name} permutation changed the solution"
 
+    # the round-3 conclusion: reordering cannot help the gathers, but it
+    # can ELIMINATE them - the RCM-banded diagonal sweep (ops/banded.py)
+    from raytracer_tpu.config import SolverConfig
+    from raytracer_tpu.ops.banded import prepare_banded, solve_banded
+
+    cfg = SolverConfig(dtype="float32")
+    bg = prepare_banded(A, halo, gr, U, cfg)
+    d_b, _ = solve_banded(bg, [source], cfg)  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        d_b, it_b = solve_banded(bg, [source], cfg)
+        times.append(time.time() - t0)
+    ok = np.allclose(d_b[0], d_nat, atol=1e-3)
+    log(f"  banded (rcm):   {min(times)*1e3:8.1f} ms   (dist match: {ok})  "
+        f"{t_nat/min(times):.1f}x vs natural ELL, {it_b} iters, "
+        f"{bg.offs.size} diagonals")
+    assert ok, "banded sweep changed the solution"
+    srcs8 = list(range(0, 8 * 101, 101))
+    solve_banded(bg, srcs8, cfg)  # compile batched
+    t0 = time.time()
+    solve_banded(bg, srcs8, cfg)
+    log(f"  banded 8-src:   {(time.time()-t0)/8*1e3:8.1f} ms/source "
+        f"(weight stream shared across the batch)")
+
 
 if __name__ == "__main__":
     main()

@@ -103,10 +103,27 @@ def run_on_chip():
                                rtol=1e-5, atol=5e-3,
                                err_msg="staged masked solve vs ELL ms on TPU")
 
+    # banded sweep (the unstructured-mesh fast path) vs the ELL solver
+    from raytracer_tpu.models.annulus import node_adjacency
+    from raytracer_tpu.models.delaunay import add_midpoints, triangle_annulus_2d
+    from raytracer_tpu.ops.banded import prepare_banded, solve_banded
+    from raytracer_tpu.solvers import bfm as _bfm
+
+    gr3 = add_midpoints(triangle_annulus_2d(nr=12, spacing=500.0))
+    A3 = node_adjacency(gr3, star=0)
+    halo3 = np.empty((0, 2), np.int64)
+    U3 = rt.interpolate_velocity(gr3.r, interp)
+    src3 = rt.closest_point(gr3, 0.0, R, system="polar")
+    bg = prepare_banded(A3, halo3, gr3, U3, F32)
+    d_bnd, it_b = solve_banded(bg, [src3], F32)
+    D3 = _bfm.solve(_bfm.prepare(A3, halo3, gr3, U3, F32), src3, F32)
+    np.testing.assert_allclose(d_bnd[0], D3.dist, rtol=1e-6, atol=5e-3,
+                               err_msg="banded sweep vs ELL on TPU")
+
     print(f"TPU parity OK: twrapped iters={it_t}, wrapped iters={it_w}, "
           f"diag iters={it_d}, pallas iters={it_p}, stream iters={it_s}, "
           f"stream-warm iters={it_sw}, staged-ms nodes={ok2.sum()}, "
-          f"n={ok.sum()} nodes compared")
+          f"banded iters={it_b}, n={ok.sum()} nodes compared")
 
 
 def test_tpu_kernel_parity():
