@@ -3,6 +3,7 @@ from .mesh import SOURCE_AXIS, make_mesh, pad_sources, replicated, source_shardi
 from .multisource import (
     solve_sharded,
     travel_time_table,
+    travel_time_table_3d,
     travel_time_table_circulant,
     travel_time_table_twrapped,
 )

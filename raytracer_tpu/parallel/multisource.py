@@ -216,6 +216,73 @@ def travel_time_table_stream(
     return vals[: len(sources), :-1]
 
 
+def travel_time_table_3d(
+    packed,
+    sources: Sequence[int],
+    receivers: Sequence[int],
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    mesh: Optional[Mesh] = None,
+    engine: str = "xla",
+    scan_every: int = None,
+    sweeps: int = 8,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Sharded multi-source 3-D travel-time table (BASELINE #5 scaled
+    over chips — the workload of reference src/Dijsktra.jl:459-481,
+    which ran one source per CUDA launch on one GPU).
+
+    `packed` is a solvers.solve3d.Packed3D.  Sources shard over the 1-D
+    mesh; each chip runs its local sources sequentially (lax.map — one
+    (n2, n1, n0) field resident per chip at a time) through the 26-tap
+    sweep while_loop with in-shard receiver extraction, so the ICI/host
+    traffic is the (S, n_receivers) table only.  engine='xla' is the
+    pure-jnp sweep (compiles per chip anywhere); engine='pallas' runs
+    the multi-sweep kernel (ops/sweep3d.py), with `interpret=True` for
+    virtual CPU-mesh validation.  Zero collectives anywhere.
+    """
+    from ..solvers.solve3d import _solve3d_jit, _solve3d_kernel_jit
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    dtype = jnp.dtype(config.dtype)
+    sources = np.asarray(sources)
+    padded = pad_sources(sources, n_dev)
+    ridx = jnp.asarray(np.asarray(receivers, dtype=np.int32).ravel())
+    tol = jnp.asarray(config.tol_value(), dtype)
+    if scan_every is None:
+        scan_every = 0 if engine == "pallas" else 8
+
+    if engine == "pallas":
+        plan = packed.plan
+        W = jnp.asarray(plan.W4)
+        statics = (plan.n1, plan.BR, plan.NB, plan.L0, plan.H8, packed.shape)
+
+        def one(src):
+            st = _solve3d_kernel_jit(src, W, packed.scan_costs, tol,
+                                     statics, config.max_iters, scan_every,
+                                     sweeps, interpret)
+            return st.dist.reshape(-1)[ridx]
+    elif engine == "xla":
+        W = jnp.asarray(packed.W_np)
+
+        def one(src):
+            st = _solve3d_jit(src, W, packed.scan_costs, tol,
+                              config.max_iters, scan_every)
+            return st.dist.reshape(-1)[ridx]
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+
+    fn = jax.jit(jax.shard_map(
+        lambda srcs: jax.lax.map(one, srcs),
+        mesh=mesh,
+        in_specs=(P(SOURCE_AXIS),),
+        out_specs=P(SOURCE_AXIS),
+        check_vma=False,
+    ))
+    vals = np.asarray(fn(jnp.asarray(padded, jnp.int32)))
+    return vals[: len(sources)]
+
+
 def travel_time_table_circulant(
     cg,
     sources: Sequence[int],

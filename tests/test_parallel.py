@@ -86,3 +86,31 @@ def test_sharded_twrapped_table(tiny_annulus, tiny_velocity):
     g = rt.prepare(A, halo, gr, tiny_velocity, F32)
     ref = travel_time_table(g, sources, receivers, F32, mesh)
     np.testing.assert_allclose(table, ref, rtol=1e-5, atol=5e-3)
+
+
+def test_sharded_3d_table():
+    # sharded multi-source 3-D table vs per-source solve3d (both engines;
+    # pallas in interpret mode on the virtual CPU mesh), uneven sources
+    from raytracer_tpu.models.grid3d import grid3d, nodal_incidence3d
+    from raytracer_tpu.parallel import travel_time_table_3d
+    from raytracer_tpu.solvers.solve3d import prepare3d, solve3d
+
+    c0 = (np.deg2rad(70.0), np.deg2rad(70.0), R - 2000.0)
+    c1 = (np.deg2rad(110.0), np.deg2rad(110.0), R)
+    g = grid3d(c0, c1, (6, 6, 5))
+    prof = rt.velocity_profile()
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = interp(g.r)
+    packed = prepare3d(g, U, F64)
+    sources = [0, 17, len(g) // 2, len(g) - 1, 33]   # 5 on 8 devices
+    recs = [1, len(g) // 3, len(g) - 2]
+    ref, _ = solve3d(g, U, sources, F64, receivers=recs, _packed=packed)
+
+    mesh = make_mesh()
+    tab = travel_time_table_3d(packed, sources, recs, F64, mesh)
+    assert tab.shape == (len(sources), len(recs))
+    np.testing.assert_allclose(tab, ref, rtol=1e-9, atol=1e-6)
+
+    tab_p = travel_time_table_3d(packed, sources, recs, F64, mesh,
+                                 engine="pallas", interpret=True)
+    np.testing.assert_allclose(tab_p, ref, rtol=1e-9, atol=1e-6)
