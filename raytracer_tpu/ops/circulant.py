@@ -454,7 +454,12 @@ def _prev_argmin_jit(dist_nodes, src_flat, w, fan_slots, fan_w, node_of,
     # float32's 2^24 contiguous-integer range and the 0.1 ms key
     # degrades; near-min differences (the only ones that decide ties)
     # stay exact under a per-destination offset.
+    # guard all-inf destinations (e.g. zero-velocity regions): inf - inf
+    # would be NaN, making every tie test false and prev2d fall through
+    # to int32-max; with offset 0 the keys stay inf and the inf == inf
+    # tie path resolves deterministically as before
     voff = jnp.floor(jnp.min(vals, axis=1))             # (M, nt)
+    voff = jnp.where(jnp.isfinite(voff), voff, jnp.zeros((), dtype))
     vq = jnp.round((vals - voff[:, None, :]) * 1e4)     # 0.1 ms quantisation
     min_vq = jnp.min(vq, axis=1)                        # (M, nt)
     tie1 = vq == min_vq[:, None, :]
@@ -492,7 +497,9 @@ def _prev_argmin_jit(dist_nodes, src_flat, w, fan_slots, fan_w, node_of,
         fv = dist2d[fan_slots] + fan_w[:, None]         # (F, nt)
         # offset by the global min before quantising (ties are decided
         # at the min, where the shifted key is exact at any travel time)
-        fvq = jnp.round((fv - jnp.floor(jnp.min(fv))) * 1e4)
+        fvoff = jnp.floor(jnp.min(fv))
+        fvoff = jnp.where(jnp.isfinite(fvoff), fvoff, jnp.zeros((), dtype))
+        fvq = jnp.round((fv - fvoff) * 1e4)
         fmin = jnp.min(fvq)
         fsel = jnp.where(fvq == fmin, fan_w[:, None], -inf)
         flatb = jnp.argmax(fsel.reshape(-1))

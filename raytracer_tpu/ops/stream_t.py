@@ -370,10 +370,12 @@ def _run_level(dist0, cen0, it0, tbl: StreamTables, st: LevelStatic,
             # Like the reference it fires only while the partner is
             # actively improving (dist[s] < dist0[s]), so stale values
             # don't spill across a stage reset.
+            # halo_map is (K, ML): K partner rows per destination slot
+            # (identity-padded) — gather gives (S, nt, K, ML), min over K
             pv = v[:, :, halo_map]
             improved = pv < state.dist[:, :, halo_map]
-            v = jnp.minimum(v, jnp.where(improved, pv,
-                                         jnp.asarray(jnp.inf, v.dtype)))
+            pv = jnp.where(improved, pv, jnp.asarray(jnp.inf, v.dtype))
+            v = jnp.minimum(v, jnp.min(pv, axis=2))
         cen = jnp.minimum(cen, jnp.min(v + fan[None], axis=(1, 2)))
         v = gate(jnp.minimum(v, cen[:, None, None] + fan[None]), v)
         changed = (jnp.any(v < state.dist - tol)
@@ -446,8 +448,8 @@ class StageSpec(NamedTuple):
     sel_mask: np.ndarray
     reset_keep: object = None
     cen_keep: bool = True
-    # (ML,) int32 partner-slot permutation for the unmasked twin
-    # min-merge (halo_map[m] = m where no twin); None = no halo
+    # (K, ML) int32 partner-slot maps for the unmasked twin min-merge
+    # (halo_map[k, m] = m where no k-th twin); None = no halo
     halo_map: object = None
 
 
@@ -527,7 +529,7 @@ def solve_stream_staged(
     halos = tuple(sp.halo_map is not None for sp in stages)
     halo_maps = tuple(
         jnp.asarray(sp.halo_map if sp.halo_map is not None
-                    else np.arange(ML, dtype=np.int32))
+                    else np.arange(ML, dtype=np.int32)[None, :])
         for sp in stages)
 
     n_out, (jm, jc, jcm, jv) = _extract_cached(ws_stages.dcache, cmap,

@@ -101,15 +101,30 @@ def _lane_mask_of(cg, ws, node_mask: np.ndarray) -> np.ndarray:
 
 
 def _halo_slot_map(cg, ws, halo: np.ndarray) -> Optional[np.ndarray]:
-    """(ML,) partner-slot permutation of the halo twin table (identity
-    where no twin).  Twins share their original's theta column, so the
-    node-level halo collapses to one slot permutation."""
+    """(K, ML) partner-slot maps of the halo twin table (identity where
+    no twin).  Twins share their original's theta column, so the
+    node-level halo collapses to per-slot maps; a destination slot can
+    have SEVERAL partner slots (each discontinuity's original slot pairs
+    with two twin slots on production annuli), so K rows cover the
+    maximum multiplicity — a single last-write-wins permutation would
+    silently drop twin-merge links."""
     if halo is None or len(halo) == 0:
         return None
-    hm = np.arange(ws.ML, dtype=np.int32)
     m_dst = cg.cmap.m_of[halo[:, 1]]
     m_src = cg.cmap.m_of[halo[:, 0]]
-    hm[m_dst] = m_src
+    partners = {}
+    for a, b in zip(m_dst, m_src):
+        partners.setdefault(int(a), []).append(int(b))
+    # dedupe BEFORE sizing K: every theta column of a ring maps to the
+    # same (dst, src) slot pair, so the raw lists carry ~ntheta copies
+    # of each partner and K would balloon to ~ntheta (a 45-180x gather
+    # blow-up in the kernel); true multiplicity is ~2
+    partners = {a: list(dict.fromkeys(v)) for a, v in partners.items()}
+    K = max(len(v) for v in partners.values())
+    hm = np.tile(np.arange(ws.ML, dtype=np.int32), (K, 1))
+    for a, srcs in partners.items():
+        for k, b in enumerate(srcs):
+            hm[k, a] = b
     return hm
 
 

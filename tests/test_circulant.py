@@ -158,3 +158,54 @@ def test_s_wave_zero_velocity_core(tiny_annulus):
     assert not np.isnan(dist).any()
     np.testing.assert_allclose(dist[ok], D.dist[ok], rtol=1e-12, atol=1e-9)
     np.testing.assert_array_equal(np.isfinite(dist), ok)
+
+
+def test_prev_recovery_device_with_unreachable(tiny_annulus):
+    """S-wave field (Vs = 0 outer core): destinations whose stencil taps
+    are ALL +inf must not poison the quantisation offset (inf - inf =
+    NaN keys made every tie test false and emitted int32-max node ids).
+    Every emitted predecessor must be an in-range node id; unreachable
+    nodes self-point."""
+    from raytracer_tpu.ops.circulant import PrevRecovery, recover_prev_device
+
+    gr, A, halo = tiny_annulus
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vs)
+    U = rt.interpolate_velocity(gr.r, interp)
+    cg = build_circulant(gr, A, halo, U, dtype=np.float64)
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    dist, _ = solve_circulant(cg, src, F64)
+    assert (~np.isfinite(dist)).sum() > 0  # shadowed/core nodes present
+
+    prev_dev = recover_prev_device(cg, dist)
+    n = gr.nnods
+    assert prev_dev.min() >= 0 and prev_dev.max() < n
+    ok = np.isfinite(dist)
+    np.testing.assert_array_equal(prev_dev[~ok], np.flatnonzero(~ok))
+    # reachable nodes carry a tree-valid predecessor edge
+    pr = PrevRecovery(gr, A, halo, U)
+    for i in np.flatnonzero(ok):
+        j = prev_dev[i]
+        if i == src:
+            continue
+        hits = np.flatnonzero((pr.rows == i) & (pr.cols == j))
+        assert hits.size, f"device prev edge {j}->{i} not in graph"
+        assert abs(dist[j] + pr.w[hits].min() - dist[i]) < 1e-3, (i, j)
+
+    # adversarial: velocity zero everywhere EXCEPT the centre node, source
+    # at the centre -> fan nodes have finite dist but ALL stencil taps
+    # +inf (every non-fan edge has U_i + U_j == 0).  The un-guarded
+    # offset made their keys NaN and emitted int32-max predecessors.
+    U0 = np.zeros_like(U)
+    cen = cg.cmap.center
+    U0[cen] = 8.0
+    cg0 = build_circulant(gr, A, halo, U0, dtype=np.float64)
+    dist0, _ = solve_circulant(cg0, cen, F64)
+    reach = np.isfinite(dist0)
+    assert 1 < reach.sum() < gr.nnods  # centre + its fan only
+    prev0 = recover_prev_device(cg0, dist0)
+    assert prev0.min() >= 0 and prev0.max() < gr.nnods
+    np.testing.assert_array_equal(prev0[~reach], np.flatnonzero(~reach))
+    fan = np.flatnonzero(reach)
+    fan = fan[fan != cen]
+    np.testing.assert_array_equal(prev0[fan], np.full(fan.size, cen))

@@ -168,3 +168,30 @@ def test_find_new_source_min(tiny_annulus, tiny_velocity):
     assert p.id[s] == "Boundary_1"
     b1 = np.flatnonzero(p.id == "Boundary_1")
     assert D.dist[s] == D.dist[b1].min()
+
+
+def test_halo_slot_map_multiplicity(tiny_annulus, tiny_velocity):
+    """The node-level halo collapses to per-slot maps with small true
+    multiplicity (~2: each original slot pairs with two twin slots).
+    Regression: theta-duplicate (dst, src) slot pairs must be deduped
+    BEFORE sizing K, else K balloons to ~ntheta and the staged kernel's
+    twin gather blows up 45-180x."""
+    from raytracer_tpu.ops.circulant import build_circulant
+    from raytracer_tpu.ops.wrapped_t import pack_twrapped_stencil
+    from raytracer_tpu.solvers.multiphase import _halo_slot_map
+
+    gr, A, halo = tiny_annulus
+    cg = build_circulant(gr, A, halo, tiny_velocity, dtype=np.float64)
+    ws = pack_twrapped_stencil(cg, dtype=np.float64, band_closure=0)
+    hm = _halo_slot_map(cg, ws, halo)
+    assert hm.ndim == 2 and hm.shape[1] == ws.ML
+    assert hm.shape[0] <= 4  # true multiplicity, not ntheta
+    # every node-level twin link is represented in some row
+    m_dst = cg.cmap.m_of[halo[:, 1]]
+    m_src = cg.cmap.m_of[halo[:, 0]]
+    for a, b in set(zip(m_dst.tolist(), m_src.tolist())):
+        assert (hm[:, a] == b).any(), (a, b)
+    # identity where no twin
+    twinless = np.setdiff1d(np.arange(ws.ML), m_dst)
+    np.testing.assert_array_equal(hm[:, twinless],
+                                  np.tile(twinless, (hm.shape[0], 1)))
