@@ -1,0 +1,107 @@
+"""Directional-sweep solver (ops/sweep_theta.py) equality tests.
+
+The sweep solver must reach the exact Jacobi fixpoint of
+ops/circulant.py::solve_circulant (same weights, same tol semantics) in
+a handful of rounds, on every mode and engine, for surface / interior /
+centre sources, batched chunks, receiver extraction and device_out.
+"""
+import numpy as np
+import pytest
+
+import raytracer_tpu as rt
+from raytracer_tpu.config import R, SolverConfig
+from raytracer_tpu.ops.circulant import build_circulant, solve_circulant
+from raytracer_tpu.ops.sweep_theta import solve_circulant_sweep
+
+CFG = SolverConfig(dtype="float32")
+TOL = 2e-3  # two tol units of f32 termination slack
+
+
+@pytest.fixture(scope="module")
+def problem():
+    gr, A, halo = rt.init_annulus(48, 12, spacing=150.0)
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = rt.interpolate_velocity(gr.r, interp)
+    cg = build_circulant(gr, A, halo, U)
+    return gr, cg
+
+
+def _sources(gr, cg):
+    return {
+        "surface": rt.closest_point(gr, 0.0, R, system="polar"),
+        "mid": rt.closest_point(gr, np.deg2rad(113.0), 4000.0,
+                                system="polar"),
+        "center": cg.cmap.center,
+    }
+
+
+@pytest.mark.parametrize("mode", ["theta", "r", "both", "kernel",
+                                  "hclosure"])
+def test_modes_match_jacobi(problem, mode):
+    gr, cg = problem
+    for name, src in _sources(gr, cg).items():
+        d_ref, _ = solve_circulant(cg, src, CFG)
+        d, rounds = solve_circulant_sweep(cg, src, CFG, mode=mode)
+        assert rounds < 30, f"{mode}/{name}: {rounds} rounds"
+        np.testing.assert_allclose(d[0], d_ref, atol=TOL, rtol=0,
+                                   err_msg=f"{mode}/{name}")
+
+
+def test_pallas_engine_matches_jacobi(problem):
+    gr, cg = problem
+    for name, src in _sources(gr, cg).items():
+        d_ref, _ = solve_circulant(cg, src, CFG)
+        d, rounds = solve_circulant_sweep(cg, src, CFG, engine="pallas",
+                                          interpret=True)
+        assert rounds < 10, f"{name}: {rounds} rounds"
+        np.testing.assert_allclose(d[0], d_ref, atol=TOL, rtol=0,
+                                   err_msg=name)
+
+
+def test_pallas_engine_exact_wrap_grid():
+    """nt % 128 == 0: the kernel's lane rolls wrap EXACTLY (no pad
+    lanes), the opposite regime from the 48-column seam-blind case."""
+    gr, A, halo = rt.init_annulus(128, 8, spacing=300.0)
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = rt.interpolate_velocity(gr.r, interp)
+    cg = build_circulant(gr, A, halo, U)
+    src = rt.closest_point(gr, np.deg2rad(7.0), R, system="polar")
+    d_ref, _ = solve_circulant(cg, src, CFG)
+    d, rounds = solve_circulant_sweep(cg, src, CFG, engine="pallas",
+                                      interpret=True)
+    # coarse shallow grids exceed the closure windows' slope reach
+    # (drift <= h_cap over 2**k columns), costing extra cheap rounds -
+    # the fine production grids converge in 3-4 (see PERF_NOTES.md)
+    assert rounds < 40
+    np.testing.assert_allclose(d[0], d_ref, atol=TOL, rtol=0)
+
+
+@pytest.mark.parametrize("engine,interp_flag", [("xla", False),
+                                                ("pallas", True)])
+def test_batched_and_receivers(problem, engine, interp_flag):
+    gr, cg = problem
+    degs = [0.0, 40.0, 95.0, 150.0, 200.0]
+    sources = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+               for d in degs]
+    receivers = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+                 for d in (30.0, 90.0, 170.0)] + [cg.cmap.center]
+    # batch=2 forces multi-chunk dispatch with a padded tail
+    d, _ = solve_circulant_sweep(cg, sources, CFG, batch=2,
+                                 receivers=receivers, engine=engine,
+                                 interpret=interp_flag)
+    assert d.shape == (len(sources), len(receivers))
+    for i, src in enumerate(sources):
+        d_ref, _ = solve_circulant(cg, src, CFG)
+        np.testing.assert_allclose(d[i], d_ref[receivers], atol=TOL,
+                                   rtol=0)
+
+
+def test_device_out_matches(problem):
+    gr, cg = problem
+    src = rt.closest_point(gr, np.deg2rad(20.0), R, system="polar")
+    d_host, it_h = solve_circulant_sweep(cg, src, CFG)
+    d_dev, it_d = solve_circulant_sweep(cg, src, CFG, device_out=True)
+    assert it_h == it_d
+    np.testing.assert_array_equal(np.asarray(d_dev), d_host)
