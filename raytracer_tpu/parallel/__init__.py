@@ -5,5 +5,7 @@ from .multisource import (
     travel_time_table,
     travel_time_table_3d,
     travel_time_table_circulant,
+    travel_time_table_stream,
+    travel_time_table_sweep,
     travel_time_table_twrapped,
 )

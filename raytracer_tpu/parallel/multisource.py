@@ -216,6 +216,74 @@ def travel_time_table_stream(
     return vals[: len(sources), :-1]
 
 
+def travel_time_table_sweep(
+    cg,
+    sources: Sequence[int],
+    receivers: Sequence[int],
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    mesh: Optional[Mesh] = None,
+    interpret: bool = False,
+    _packed=None,
+) -> np.ndarray:
+    """Sharded travel-time table on the directional-sweep solver
+    (ops/sweep_theta.py) - ~3-4 rounds per solve at any grid size.
+
+    Sources shard over the 1-D mesh; each chip runs its local block
+    through the hclosure round structure (radial Pallas sweeps + XLA
+    closure scans) with in-shard receiver extraction - zero collectives
+    anywhere.  `interpret=True` runs the radial kernels' interpret mode
+    for virtual CPU-mesh validation."""
+    from ..ops.diag_circulant import LANES, SUB
+    from ..ops.sweep_theta import (_solve_sweep_pallas_jit,
+                                   pack_rsweep_tables, pack_sweep_tables)
+    from ..ops.wrapped_t import (_extract_arrays, _textract_jit,
+                                 pack_twrapped_stencil)
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    dtype = jnp.dtype(config.dtype)
+    # the sweep tables are rebuilt from the raw decomposition: the
+    # shared stencil must be packed closure-free
+    ws = _packed if _packed is not None else pack_twrapped_stencil(
+        cg, dtype=dtype, band_closure=0)
+    tbl, static = pack_sweep_tables(ws, cg, dtype)
+    (wtab_dn, wtab_up), rst = pack_rsweep_tables(ws, cg, dtype)
+    cmap = cg.cmap
+
+    sources = np.asarray(sources)
+    padded = pad_sources(sources, n_dev)
+    S_local = len(padded) // n_dev
+    is_cen = padded == cmap.center
+    src_m = np.where(is_cen, 0, cmap.m_of[padded]).astype(np.int32)
+    src_c = np.where(is_cen, 0, cmap.c_of[padded]).astype(np.int32)
+
+    m_idx, c_idx, center_mask, valid = _extract_arrays(cmap, receivers)
+    jm, jc = jnp.asarray(m_idx), jnp.asarray(c_idx)
+    jcm, jv = jnp.asarray(center_mask), jnp.asarray(valid)
+    tol = jnp.asarray(config.tol_value(), dtype)
+    nt, ML = static.nt, static.ML
+
+    def solve_block(sm, sc, scen):
+        st = _solve_sweep_pallas_jit(sm, sc, scen, tbl, wtab_dn, wtab_up,
+                                     tol, static, rst, config.max_iters,
+                                     S_local, interpret)
+        cen2d = jnp.broadcast_to(jnp.repeat(st.cen, LANES)[None, :],
+                                 (SUB, S_local * LANES))
+        return _textract_jit(st.dist.reshape(S_local * nt, ML), cen2d,
+                             st.it, jm, jc, jcm, jv, S_local, nt)
+
+    fn = jax.jit(jax.shard_map(
+        solve_block,
+        mesh=mesh,
+        in_specs=(P(SOURCE_AXIS),) * 3,
+        out_specs=P(SOURCE_AXIS),
+        check_vma=False,
+    ))
+    vals = np.asarray(fn(jnp.asarray(src_m), jnp.asarray(src_c),
+                         jnp.asarray(is_cen)))
+    return vals[: len(sources), :-1]
+
+
 def travel_time_table_3d(
     packed,
     sources: Sequence[int],

@@ -37,10 +37,15 @@ class AnnulusSolver:
       'twrapped'  -> theta-major full-iteration Pallas kernel
                      (ops/wrapped_t.py): moving-frame band sweep with
                      min-plus band closure, scans + fan in-kernel
+      'sweep'     -> directional-sweep solver (ops/sweep_theta.py):
+                     Gauss-Seidel radial Pallas sweeps + hierarchical
+                     horizontal closure; converges in ~3-4 ROUNDS at any
+                     grid size (vs O(ntheta) Jacobi iterations) - the
+                     large-grid fast path
       'stream'    -> streamed theta-major path (ops/stream_t.py): scans
                      at XLA level, band sweep as a theta-blocked Pallas
                      kernel with HBM-streamed pages - no VMEM ceiling;
-                     the >=1M-node fast path
+                     Jacobi iteration structure
       'wrapped'   -> slot-major full-iteration wrapped-lane Pallas kernel
                      (ops/diag_wrapped.py): scans + band sweep + fan all
                      in-kernel, multiple iterations per dispatch
@@ -101,11 +106,12 @@ class AnnulusSolver:
         self._diag_stencil = None
         self._wrapped_stencil = None
         self._twrapped_stencil = None
+        self._sweep_stencil = None
         self._device_cache: dict = {}
 
         dtype = np.dtype(config.dtype)
-        if method in ("twrapped", "stream", "wrapped", "diag", "pallas",
-                      "circulant", "fused"):
+        if method in ("twrapped", "sweep", "stream", "wrapped", "diag",
+                      "pallas", "circulant", "fused"):
             try:
                 if cache_dir is not None:
                     from ..utils.cache import build_circulant_cached
@@ -184,6 +190,29 @@ class AnnulusSolver:
                 )
                 self.last_iterations = iters
                 return dist
+        if self._method == "sweep":
+            from ..ops.sweep_theta import solve_circulant_sweep
+            from ..ops.wrapped_t import pack_twrapped_stencil
+
+            # the sweep tables are rebuilt from the RAW decomposition:
+            # the shared stencil must be packed closure-free
+            if self._sweep_stencil is None:
+                self._sweep_stencil = pack_twrapped_stencil(
+                    self.circulant, dtype=np.dtype(self.config.dtype),
+                    band_closure=0,
+                )
+            import jax
+
+            on_tpu = jax.devices()[0].platform == "tpu"
+            dist, iters = solve_circulant_sweep(
+                self.circulant, sources, self.config,
+                batch=min(batch, len(sources)), receivers=receivers,
+                device_out=device_out,
+                engine="pallas" if on_tpu else "xla",
+                interpret=False, _packed=self._sweep_stencil,
+            )
+            self.last_iterations = iters
+            return dist
         if self._method == "stream":
             from ..ops.stream_t import solve_circulant_stream
             from ..ops.wrapped_t import pack_twrapped_stencil
@@ -308,7 +337,7 @@ class AnnulusSolver:
         not per chunk).
         """
         receivers = np.asarray(receivers)
-        if self._method in ("twrapped", "stream", "wrapped"):
+        if self._method in ("twrapped", "sweep", "stream", "wrapped"):
             return self._dist_batch([int(s) for s in sources],
                                     receivers=receivers, batch=batch)
         out = np.empty((len(sources), len(receivers)),

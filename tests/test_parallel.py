@@ -88,6 +88,30 @@ def test_sharded_twrapped_table(tiny_annulus, tiny_velocity):
     np.testing.assert_allclose(table, ref, rtol=1e-5, atol=5e-3)
 
 
+def test_sharded_sweep_table(tiny_annulus, tiny_velocity):
+    # directional-sweep solver inside each shard (radial Pallas kernels
+    # in interpret mode on the virtual CPU mesh), uneven source count
+    from raytracer_tpu.ops.circulant import build_circulant
+    from raytracer_tpu.parallel import travel_time_table, travel_time_table_sweep
+
+    gr, A, halo = tiny_annulus
+    F32 = SolverConfig(dtype="float32")
+    cg = build_circulant(gr, A, halo, tiny_velocity, dtype=np.float32)
+    mesh = make_mesh()
+    sources = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+               for d in (0.0, 60.0, 120.0, 250.0, 333.0)]
+    sources.append(cg.cmap.center)
+    receivers = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+                 for d in (30.0, 180.0)]
+    receivers.append(cg.cmap.center)
+    table = travel_time_table_sweep(cg, sources, receivers, F32, mesh,
+                                    interpret=True)
+    assert table.shape == (len(sources), len(receivers))
+    g = rt.prepare(A, halo, gr, tiny_velocity, F32)
+    ref = travel_time_table(g, sources, receivers, F32, mesh)
+    np.testing.assert_allclose(table, ref, rtol=1e-5, atol=5e-3)
+
+
 def test_sharded_3d_table():
     # sharded multi-source 3-D table vs per-source solve3d (both engines;
     # pallas in interpret mode on the virtual CPU mesh), uneven sources
