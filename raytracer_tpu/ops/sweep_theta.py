@@ -63,8 +63,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import DEFAULT_SOLVER_CONFIG, SolverConfig
 from .circulant import CirculantGraph, _DC_RANGE
 from .diag_circulant import LANES, SUB, _round_up, decompose_diagonals
-from .diag_wrapped import _extract_cached, _pipelined_chunk_solve
-from .stream_t import _stream_tables
+from .diag_wrapped import (_extract_cached, _pipelined_chunk_solve,
+                           _window_costs)
+from .stream_t import _pow_spans
 from .wrapped_t import TWStencil, _textract_jit, pack_twrapped_stencil
 
 
@@ -85,7 +86,8 @@ class SweepTables(NamedTuple):
     wg: Tuple[jax.Array, ...]
     cfp: jax.Array
     cbp: jax.Array
-    fan_w: jax.Array
+    fan_w: jax.Array    # fan-OUT row (destination-masked in stage tables)
+    fan_in: jax.Array   # fan-IN row (unmasked; all-+inf when cen is off)
     wr_dn: jax.Array
     wr_up: jax.Array
     ring_f: jax.Array
@@ -114,7 +116,7 @@ class SweepStatic(NamedTuple):
 _H_CAP = 8   # slot-drift cap of the horizontal closure windows
 
 
-def _hclosure_tables(dec, nt: int, ML: int, cap: int = _H_CAP):
+def _hclosure_tables(dec, nt: int, ML: int, cap: int = _H_CAP, wmat=None):
     """Hierarchical horizontal min-plus windows.
 
     wh[k][sign, dm + cap, :] = cost of moving EXACTLY 2**k theta columns
@@ -149,12 +151,14 @@ def _hclosure_tables(dec, nt: int, ML: int, cap: int = _H_CAP):
             np.minimum(tgt, cand, out=tgt)
         return out
 
+    wmat = dec.wmat if wmat is None else wmat
+
     def seed(dc0):
         out = np.full((n_dm, dec.Mp), np.inf)
         for d in np.flatnonzero(dec.dcs == dc0):
             dm = int(dec.dms[d])
             if abs(dm) <= cap:
-                out[dm + cap] = np.minimum(out[dm + cap], dec.wmat[d])
+                out[dm + cap] = np.minimum(out[dm + cap], wmat[d])
         return out
 
     levels, spans = [], []
@@ -175,21 +179,35 @@ def _hclosure_tables(dec, nt: int, ML: int, cap: int = _H_CAP):
     return levels, tuple(spans)
 
 
-def pack_sweep_tables(ws: TWStencil, cg: CirculantGraph,
-                      dtype) -> Tuple[SweepTables, SweepStatic]:
+def pack_sweep_tables(ws: TWStencil, cg: CirculantGraph, dtype,
+                      slot_mask=None,
+                      cen_on: bool = True) -> Tuple[SweepTables, SweepStatic]:
     """Per-dc grouped diagonal rows (cached in the stencil's dcache).
 
     `ws` must be packed with band_closure=0: the groups are rebuilt from
     the raw decomposition and must describe the same graph as the chain
     window costs taken from the shared stream tables.
+
+    `slot_mask` ((Mp,) bool, optional) builds DESTINATION-MASKED stage
+    tables for the ms/multiphase family: masked slots never improve
+    (every cost row is +inf at their lanes) but stay readable - the
+    reference's masked-relaxation pull semantics.  All compositions
+    (chain windows, ring powers, closure windows) inherit the mask at
+    every intermediate hop because each hop's destination row is masked
+    at the seed.  `cen_on=False` additionally cuts both fan directions.
+    Masked tables are NOT cached (each stage owns its own).
     """
     key = "sweep_tables"
-    if key in ws.dcache:
+    if slot_mask is None and key in ws.dcache:
         return ws.dcache[key]
-    stbl, sstat = _stream_tables(ws, dtype)
     dec = decompose_diagonals(cg)
     assert dec.Mp == ws.Mp
     ML = ws.ML
+    if slot_mask is None:
+        wmat = dec.wmat
+    else:
+        wmat = np.where(np.asarray(slot_mask)[None, : dec.Mp],
+                        dec.wmat, np.inf)
     wg, dms = [], []
     for dc in range(-_DC_RANGE, _DC_RANGE + 1):
         sel = np.flatnonzero(dec.dcs == dc)
@@ -197,7 +215,7 @@ def pack_sweep_tables(ws: TWStencil, cg: CirculantGraph,
         sel = sel[order]
         rows = np.full((max(len(sel), 1), ML), np.inf)
         if len(sel):
-            rows[: len(sel), : dec.Mp] = dec.wmat[sel]
+            rows[: len(sel), : dec.Mp] = wmat[sel]
         wg.append(jnp.asarray(rows.astype(dtype)))
         dms.append(tuple(int(d) for d in dec.dms[sel]) or (0,))
 
@@ -208,7 +226,7 @@ def pack_sweep_tables(ws: TWStencil, cg: CirculantGraph,
         sel = sel[order]
         w = np.full((ML, max(len(sel), 1)), np.inf)
         if len(sel):
-            w[: dec.Mp, : len(sel)] = dec.wmat[sel].T
+            w[: dec.Mp, : len(sel)] = wmat[sel].T
         taps = tuple((int(dec.dms[d]), int(dec.dcs[d])) for d in sel) \
             or ((sign, 0),)
         return jnp.asarray(w.astype(dtype)), taps
@@ -220,24 +238,55 @@ def pack_sweep_tables(ws: TWStencil, cg: CirculantGraph,
         hit = np.flatnonzero((dec.dms == 0) & (dec.dcs == dc0))
         out = np.full(ML, np.inf)
         if len(hit):
-            out[: dec.Mp] = dec.wmat[hit[0]]
+            out[: dec.Mp] = wmat[hit[0]]
         return jnp.asarray(out.astype(dtype))
 
-    wh_np, h_spans = _hclosure_tables(dec, ws.nt, ML)
+    # chain window costs from the (possibly masked) dm=+-1, dc=0 hops;
+    # window doubling then forbids out-of-level intermediates while the
+    # first hop may still read an out-of-level source
+    def _chain_vec(dm0):
+        hit = np.flatnonzero((dec.dms == dm0) & (dec.dcs == 0))
+        out = np.full(ML, np.inf)
+        if len(hit):
+            out[: dec.Mp] = wmat[hit[0]]
+        return out
+
+    chain_f = _chain_vec(-1)
+    chain_f[0] = np.inf
+    chain_b = _chain_vec(+1)
+    chain_b[dec.Mp - 1:] = np.inf
+    spans = _pow_spans(dec.Mp)
+    cfp = _window_costs(chain_f, spans)
+    cbp = _window_costs(chain_b[::-1], spans)[:, ::-1]
+
+    fan_np = np.asarray(ws.fan_w[0], np.float64)
+    fan_out = fan_np.copy()
+    if slot_mask is not None:
+        lane_ok = np.zeros(ML, dtype=bool)
+        lane_ok[: dec.Mp] = np.asarray(slot_mask)[: dec.Mp]
+        fan_out = np.where(lane_ok, fan_out, np.inf)
+    if not cen_on:
+        fan_out = np.full_like(fan_out, np.inf)
+    fan_in = fan_np if cen_on else np.full_like(fan_np, np.inf)
+
+    wh_np, h_spans = _hclosure_tables(dec, ws.nt, ML, wmat=wmat)
     tables = SweepTables(
         wg=tuple(wg),
-        cfp=stbl.cfp, cbp=stbl.cbp,
-        fan_w=jnp.asarray(np.asarray(ws.fan_w[0])),
+        cfp=jnp.asarray(cfp.astype(dtype)),
+        cbp=jnp.asarray(cbp.astype(dtype)),
+        fan_w=jnp.asarray(fan_out.astype(dtype)),
+        fan_in=jnp.asarray(fan_in.astype(dtype)),
         wr_dn=wr_dn, wr_up=wr_up,
         ring_f=_dm0_vec(-1), ring_b=_dm0_vec(+1),
         ring2_f=_dm0_vec(-2), ring2_b=_dm0_vec(+2),
         wh=tuple(jnp.asarray(w.astype(dtype)) for w in wh_np),
     )
     static = SweepStatic(Mp=ws.Mp, ML=ML, nt=ws.nt, dms=tuple(dms),
-                         chain_spans=sstat.chain_spans,
+                         chain_spans=spans,
                          taps_dn=taps_dn, taps_up=taps_up,
                          h_cap=_H_CAP, h_spans=h_spans)
-    ws.dcache[key] = (tables, static)
+    if slot_mask is None:
+        ws.dcache[key] = (tables, static)
     return tables, static
 
 
@@ -410,16 +459,18 @@ class RSweepStatic(NamedTuple):
     Dup: int
 
 
-def pack_rsweep_tables(ws: TWStencil, cg: CirculantGraph, dtype):
+def pack_rsweep_tables(ws: TWStencil, cg: CirculantGraph, dtype,
+                       slot_mask=None):
     """Weight tables for the Pallas radial sweeps, cached in dcache.
 
     wtab_dn: (MT + K8, Ddn) - row = BUFFER row of the down sweep (field
     rows first, +inf pad rows above), lane = tap.  wtab_up mirrors with
     the pad rows BELOW (field rows at [K8, K8+MT)).  +inf entries make
-    out-of-range taps no-ops.
+    out-of-range taps no-ops.  `slot_mask` destination-masks the weight
+    rows for staged solves (masked stage tables are not cached).
     """
     key = "rsweep_tables"
-    if key in ws.dcache:
+    if slot_mask is None and key in ws.dcache:
         return ws.dcache[key]
     dec = decompose_diagonals(cg)
     Mp = dec.Mp
@@ -427,6 +478,10 @@ def pack_rsweep_tables(ws: TWStencil, cg: CirculantGraph, dtype):
     maxdm = int(np.max(np.abs(dec.dms)))
     K8 = _round_up(max(maxdm, 1), SUB)
     NTL = _round_up(ws.nt, LANES)
+    if slot_mask is None:
+        wmat = dec.wmat
+    else:
+        wmat = np.where(np.asarray(slot_mask)[None, :Mp], dec.wmat, np.inf)
 
     def _pack(sign):
         sel = np.flatnonzero(np.sign(dec.dms) == sign)
@@ -435,7 +490,7 @@ def pack_rsweep_tables(ws: TWStencil, cg: CirculantGraph, dtype):
         D = _round_up(max(len(sel), 1), LANES)
         w = np.full((MT + K8, D), np.inf)
         rows = np.full((len(sel), MT), np.inf)
-        rows[:, :Mp] = dec.wmat[sel]
+        rows[:, :Mp] = wmat[sel]
         base = 0 if sign > 0 else K8
         w[base: base + MT, : len(sel)] = rows.T
         taps = tuple((int(dec.dms[d]), int(dec.dcs[d]), i)
@@ -446,8 +501,10 @@ def pack_rsweep_tables(ws: TWStencil, cg: CirculantGraph, dtype):
     wtab_up, taps_up, Dup = _pack(-1)
     static = RSweepStatic(MT=MT, K8=K8, NTL=NTL, taps_dn=taps_dn,
                           taps_up=taps_up, Ddn=Ddn, Dup=Dup)
-    ws.dcache[key] = ((wtab_dn, wtab_up), static)
-    return ws.dcache[key]
+    out = ((wtab_dn, wtab_up), static)
+    if slot_mask is None:
+        ws.dcache[key] = out
+    return out
 
 
 def _make_rsweep_kernel(rst: RSweepStatic, upward: bool, dtype):
@@ -576,6 +633,7 @@ def _solve_sweep_jit(src_m, src_c, src_cen, tbl: SweepTables, tol,
     cen0 = jnp.where(src_cen, zero, inf)
 
     fan = tbl.fan_w[None, None, :]
+    fan_in = tbl.fan_in[None, None, :]
 
     seq = {
         "theta": ("fwd", "bwd"),
@@ -629,7 +687,7 @@ def _solve_sweep_jit(src_m, src_c, src_cen, tbl: SweepTables, tol,
 
     def pair(state: SweepState) -> SweepState:
         v, cen = state.dist, state.cen
-        cen = jnp.minimum(cen, jnp.min(v + fan, axis=(1, 2)))
+        cen = jnp.minimum(cen, jnp.min(v + fan_in, axis=(1, 2)))
         v = jnp.minimum(v, cen[:, None, None] + fan)
         for step in seq:
             if step == "fwd":
@@ -659,7 +717,7 @@ def _solve_sweep_jit(src_m, src_c, src_cen, tbl: SweepTables, tol,
     # settle the fan after the last pair (a no-change pair already
     # applied it first, so this is a no-op there; it matters only when
     # max_iters cut the loop)
-    cen = jnp.minimum(st.cen, jnp.min(st.dist + fan, axis=(1, 2)))
+    cen = jnp.minimum(st.cen, jnp.min(st.dist + fan_in, axis=(1, 2)))
     v = jnp.minimum(st.dist, cen[:, None, None] + fan)
     return SweepState(v, cen, st.changed, st.it)
 
@@ -686,7 +744,6 @@ def _solve_sweep_pallas_jit(src_m, src_c, src_cen, tbl: SweepTables,
     inf = jnp.asarray(jnp.inf, dtype)
     zero = jnp.zeros((), dtype)
     nt, ML = static.nt, static.ML
-    MT, K8, NTL = rst.MT, rst.K8, rst.NTL
 
     t_r = jnp.arange(nt, dtype=jnp.int32)[None, :, None]
     lane = jnp.arange(ML, dtype=jnp.int32)[None, None, :]
@@ -694,8 +751,27 @@ def _solve_sweep_pallas_jit(src_m, src_c, src_cen, tbl: SweepTables,
                       & (lane == src_m[:, None, None])
                       & (~src_cen[:, None, None]), zero, inf)
     cen0 = jnp.where(src_cen, zero, inf)
+    return _run_sweep_rounds(dist0, cen0, jnp.zeros((), jnp.int32), tbl,
+                             wtab_dn, wtab_up, tol, static, rst,
+                             max_iters, interpret)
+
+
+def _run_sweep_rounds(dist0, cen0, it0, tbl: SweepTables, wtab_dn, wtab_up,
+                      tol, static: SweepStatic, rst: RSweepStatic,
+                      max_iters: int, interpret: bool,
+                      halo_map=None) -> SweepState:
+    """One while_loop of pallas-engine rounds from an explicit initial
+    field (trace-time helper shared by the plain and staged solves).
+
+    `halo_map` ((K, ML) int32, optional): the reference's unmasked twin
+    min-merge runs once per round, improvement-gated against the
+    round-start field (src/SSSP/bfm.jl:54-62's condition), like the
+    staged stream solver."""
+    nt, ML = static.nt, static.ML
+    MT, K8, NTL = rst.MT, rst.K8, rst.NTL
 
     fan = tbl.fan_w[None, None, :]
+    fan_in = tbl.fan_in[None, None, :]
 
     def to_T(v, upward):
         vt = jnp.swapaxes(v, 1, 2)[:, :MT, :]        # (S, MT, nt)
@@ -756,7 +832,7 @@ def _solve_sweep_pallas_jit(src_m, src_c, src_cen, tbl: SweepTables,
 
     def rnd(state: SweepState) -> SweepState:
         v, cen = state.dist, state.cen
-        cen = jnp.minimum(cen, jnp.min(v + fan, axis=(1, 2)))
+        cen = jnp.minimum(cen, jnp.min(v + fan_in, axis=(1, 2)))
         v = jnp.minimum(v, cen[:, None, None] + fan)
         v = from_T(_rsweep_call(to_T(v, False), wtab_dn, rst, False,
                                 interpret), False)
@@ -765,6 +841,11 @@ def _solve_sweep_pallas_jit(src_m, src_c, src_cen, tbl: SweepTables,
                                 interpret), True)
         v = hscan(ring_chain(v))
         v = seamfix(v)
+        if halo_map is not None:
+            pv = v[:, :, halo_map]
+            improved = pv < state.dist[:, :, halo_map]
+            pv = jnp.where(improved, pv, jnp.asarray(jnp.inf, v.dtype))
+            v = jnp.minimum(v, jnp.min(pv, axis=2))
         changed = (jnp.any(v < state.dist - tol)
                    | jnp.any(cen < state.cen - tol))
         return SweepState(v, cen, changed, state.it + 1)
@@ -773,9 +854,8 @@ def _solve_sweep_pallas_jit(src_m, src_c, src_cen, tbl: SweepTables,
         return s.changed & (s.it < max_iters)
 
     st = jax.lax.while_loop(
-        cond, rnd, SweepState(dist0, cen0, jnp.asarray(True),
-                              jnp.zeros((), jnp.int32)))
-    cen = jnp.minimum(st.cen, jnp.min(st.dist + fan, axis=(1, 2)))
+        cond, rnd, SweepState(dist0, cen0, jnp.asarray(True), it0))
+    cen = jnp.minimum(st.cen, jnp.min(st.dist + fan_in, axis=(1, 2)))
     v = jnp.minimum(st.dist, cen[:, None, None] + fan)
     return SweepState(v, cen, st.changed, st.it)
 
@@ -834,3 +914,123 @@ def solve_circulant_sweep(
 
     return _pipelined_chunk_solve(sources, S, n_out, dtype, dispatch,
                                   device_out=device_out)
+
+
+class SweepStageSpec(NamedTuple):
+    """One stage of a staged (multi-level) directional-sweep solve.
+
+    tables/wtab_dn/wtab_up: destination-masked stage tables from
+        pack_sweep_tables / pack_rsweep_tables with slot_mask set (may
+        also carry stage-specific weights, e.g. multiphase boundary
+        velocity swaps)
+    reset_keep: None, or (ML,) bool host array: before the stage, slots
+        NOT in it reset to +inf (the ms boundary restart)
+    cen_keep  : centre value survives the reset
+    halo_map  : (K, ML) int32 partner-slot maps for the unmasked twin
+        min-merge (identity-padded); None = no halo
+    """
+
+    tables: SweepTables
+    wtab_dn: jax.Array
+    wtab_up: jax.Array
+    reset_keep: object = None
+    cen_keep: bool = True
+    halo_map: object = None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("static", "rst", "resets", "cen_keeps", "halos",
+                     "max_iters", "interpret", "S"),
+)
+def _solve_sweep_staged_jit(src_m, src_c, src_cen, stage_tbls, stage_wdn,
+                            stage_wup, reset_keeps, halo_maps, tol,
+                            static: SweepStatic, rst: RSweepStatic,
+                            resets: Tuple[bool, ...],
+                            cen_keeps: Tuple[bool, ...],
+                            halos: Tuple[bool, ...],
+                            max_iters: int, interpret: bool, S: int):
+    """Sequential level-masked sweep stages in ONE dispatch (the
+    circulant fast path of the reference's bfm_ms / bfm_multiphase layer
+    sweeps, on the ~3-round directional-sweep engine)."""
+    dtype = stage_tbls[0][0][0].dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+    zero = jnp.zeros((), dtype)
+    nt, ML = static.nt, static.ML
+
+    t_r = jnp.arange(nt, dtype=jnp.int32)[None, :, None]
+    lane = jnp.arange(ML, dtype=jnp.int32)[None, None, :]
+    dist0 = jnp.where((t_r == src_c[:, None, None])
+                      & (lane == src_m[:, None, None])
+                      & (~src_cen[:, None, None]), zero, inf)
+    cen0 = jnp.where(src_cen, zero, inf)
+
+    st = SweepState(dist0, cen0, jnp.asarray(True),
+                    jnp.zeros((), jnp.int32))
+    for i in range(len(resets)):
+        dist, cen = st.dist, st.cen
+        if resets[i]:
+            dist = jnp.where(reset_keeps[i][None, None, :], dist, inf)
+            if not cen_keeps[i]:
+                cen = jnp.full_like(cen, jnp.inf)
+        st = _run_sweep_rounds(dist, cen, st.it, stage_tbls[i],
+                               stage_wdn[i], stage_wup[i], tol, static,
+                               rst, max_iters, interpret,
+                               halo_map=halo_maps[i] if halos[i] else None)
+    return st
+
+
+def solve_sweep_staged(
+    cg: CirculantGraph,
+    ws: TWStencil,
+    stages,
+    sources,
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    interpret: bool = False,
+    batch: int = 1,
+    receivers=None,
+) -> Tuple[np.ndarray, int]:
+    """Run SweepStageSpec stages sequentially.  API mirrors
+    ops/stream_t.py::solve_stream_staged; `ws` is the (closure-free)
+    stencil whose dcache holds extraction arrays."""
+    dtype = jnp.dtype(config.dtype)
+    _, static = pack_sweep_tables(ws, cg, dtype)
+    _, rst = pack_rsweep_tables(ws, cg, dtype)
+    sources = np.atleast_1d(np.asarray(sources, dtype=np.int64))
+    cmap = cg.cmap
+    S = max(1, min(batch, len(sources)))
+    tol = jnp.asarray(config.tol_value(), dtype)
+    nt, ML = static.nt, static.ML
+
+    stage_tbls = tuple(sp.tables for sp in stages)
+    stage_wdn = tuple(sp.wtab_dn for sp in stages)
+    stage_wup = tuple(sp.wtab_up for sp in stages)
+    resets = tuple(sp.reset_keep is not None for sp in stages)
+    reset_keeps = tuple(
+        jnp.asarray(sp.reset_keep if sp.reset_keep is not None
+                    else np.ones(ML, dtype=bool))
+        for sp in stages)
+    cen_keeps = tuple(bool(sp.cen_keep) for sp in stages)
+    halos = tuple(sp.halo_map is not None for sp in stages)
+    halo_maps = tuple(
+        jnp.asarray(sp.halo_map if sp.halo_map is not None
+                    else np.arange(ML, dtype=np.int32)[None, :])
+        for sp in stages)
+
+    n_out, (jm, jc, jcm, jv) = _extract_cached(ws.dcache, cmap, receivers)
+
+    def dispatch(chunk):
+        is_cen = chunk == cmap.center
+        src_m = np.where(is_cen, 0, cmap.m_of[chunk]).astype(np.int32)
+        src_c = np.where(is_cen, 0, cmap.c_of[chunk]).astype(np.int32)
+        st = _solve_sweep_staged_jit(
+            src_m, src_c, is_cen, stage_tbls, stage_wdn, stage_wup,
+            reset_keeps, halo_maps, tol, static, rst, resets, cen_keeps,
+            halos, config.max_iters, interpret, S,
+        )
+        cen2d = jnp.broadcast_to(jnp.repeat(st.cen, LANES)[None, :],
+                                 (SUB, S * LANES))
+        return _textract_jit(st.dist.reshape(S * nt, ML), cen2d, st.it,
+                             jm, jc, jcm, jv, S, nt)
+
+    return _pipelined_chunk_solve(sources, S, n_out, dtype, dispatch)

@@ -152,6 +152,74 @@ def _ms_stages(cg, ws, static, halo, partition, levels, dtype):
     return stages
 
 
+def _ms_sweep_stages(cg, ws, halo, partition, levels, dtype):
+    """SweepStageSpec list for the bfm_ms level sequence (the
+    directional-sweep engine's destination-masked stage tables)."""
+    from ..ops.sweep_theta import (SweepStageSpec, pack_rsweep_tables,
+                                   pack_sweep_tables)
+
+    halo_map = _halo_slot_map(cg, ws, halo)
+    stages = []
+    for li, level in enumerate(levels):
+        nmask = level_mask(partition, level)
+        lane = _lane_mask_of(cg, ws, nmask)
+        cen_on = cg.cmap.center >= 0 and bool(nmask[cg.cmap.center])
+        tables, _ = pack_sweep_tables(ws, cg, dtype,
+                                      slot_mask=lane[: ws.Mp],
+                                      cen_on=cen_on)
+        (wdn, wup), _ = pack_rsweep_tables(ws, cg, dtype,
+                                           slot_mask=lane[: ws.Mp])
+        reset_keep = None
+        cen_keep = True
+        if li > 0:
+            first_boundary = partition.iterator[level][1]
+            bmask = np.isin(partition.id, [first_boundary])
+            reset_keep = _lane_mask_of(cg, ws, bmask)
+            cen_keep = cg.cmap.center >= 0 and bool(bmask[cg.cmap.center])
+        stages.append(SweepStageSpec(tables=tables, wtab_dn=wdn,
+                                     wtab_up=wup, reset_keep=reset_keep,
+                                     cen_keep=cen_keep,
+                                     halo_map=halo_map))
+    return stages
+
+
+def _bfm_ms_sweep(A, halo, source, gr, U, config, levels,
+                  interpret: bool = False,
+                  want_prev: bool = True,
+                  _reuse: Optional[dict] = None) -> BellmanFordMoore:
+    """bfm_ms on the directional-sweep engine: each level-masked stage
+    converges in ~3-4 sweep rounds instead of O(ntheta) Jacobi
+    iterations (see ops/sweep_theta.py); same staged semantics as the
+    stream variant (lane resets, unmasked improvement-gated twin merge),
+    equality-tested against the ELL reference implementation."""
+    from ..ops.circulant import build_circulant, recover_prev_device
+    from ..ops.sweep_theta import solve_sweep_staged
+    from ..ops.wrapped_t import pack_twrapped_stencil
+
+    dtype = np.dtype(config.dtype)
+    key = ("ms_sweep_setup", tuple(levels) if levels else None)
+    if _reuse is not None and key in _reuse:
+        cg, ws, stages, levels = _reuse[key]
+    else:
+        partition = partition_grid(gr)
+        if levels is None:
+            levels = (1, 2 * partition.nlayers - 1)
+        cg = build_circulant(gr, A, halo, U, dtype=dtype)
+        ws = pack_twrapped_stencil(cg, dtype=dtype, band_closure=0)
+        stages = _ms_sweep_stages(cg, ws, halo, partition, levels, dtype)
+        if _reuse is not None:
+            _reuse[key] = (cg, ws, stages, levels)
+    dist, _ = solve_sweep_staged(cg, ws, stages, [source], config,
+                                 interpret=interpret)
+    dist = dist[0]
+    if want_prev:
+        prev = recover_prev_device(cg, dist)
+        prev[source] = source
+    else:
+        prev = np.arange(len(dist))
+    return BellmanFordMoore(prev=prev, dist=dist)
+
+
 def _bfm_ms_stream(A, halo, source, gr, U, config, levels,
                    interpret: bool = False,
                    want_prev: bool = True,
@@ -216,9 +284,14 @@ def bfm_ms(
     distances reset to +inf.
 
     method='stream' runs the circulant fast path (staged level-masked
-    streamed solve, one device dispatch); 'ell' is the general-graph
-    reference implementation the fast path is equality-tested against.
+    streamed solve, one device dispatch); 'sweep' the directional-sweep
+    engine (~3-4 rounds per stage); 'ell' is the general-graph
+    reference implementation the fast paths are equality-tested against.
     """
+    if method == "sweep":
+        return _bfm_ms_sweep(A, halo, source, gr, U, config, levels,
+                             interpret=interpret, want_prev=want_prev,
+                             _reuse=_reuse)
     if method == "stream":
         # pass a dict as _reuse to amortise the one-time circulant pack
         # (~3 s host work at 180x63) across repeated solves - the solve
@@ -320,6 +393,58 @@ def _bfm_multiphase_stream(A, source, gr, U, partition, interpolant,
     return BellmanFordMoore(prev=prev, dist=dist)
 
 
+def _bfm_multiphase_sweep(A, source, gr, U, partition, interpolant,
+                          config, nlevels,
+                          interpret: bool = False) -> BellmanFordMoore:
+    """bfm_multiphase on the directional-sweep engine: per-level boundary
+    velocity swaps become per-stage table repacks, all levels masked and
+    run in one dispatch at ~3-4 sweep rounds each."""
+    from ..ops.circulant import build_circulant, recover_prev_device
+    from ..ops.sweep_theta import (SweepStageSpec, pack_rsweep_tables,
+                                   pack_sweep_tables, solve_sweep_staged)
+    from ..ops.wrapped_t import pack_twrapped_stencil
+
+    partition = partition or partition_grid(gr)
+    bnodes = _boundary_nodes(gr, partition)
+    ray_dir = directions(partition.nlayers)
+    bdict = dict(zip(partition.boundaries, partition.rboundaries))
+    U = np.asarray(U, dtype=np.float64).copy()
+    empty_halo = np.empty((0, 2), dtype=np.int64)
+    dtype = np.dtype(config.dtype)
+
+    stages = []
+    cg0 = ws0 = None
+    for i in range(1, nlevels + 1):
+        active = partition.iterator[i]
+        current_boundaries = active[1:]
+        if interpolant is not None:
+            for b in current_boundaries:
+                U = boundary_velocity(
+                    U, interpolant, bdict[b], bnodes[b],
+                    ray_dir[i][0 if b == current_boundaries[0] else 1])
+        cg = build_circulant(gr, A, empty_halo, U, dtype=dtype)
+        ws = pack_twrapped_stencil(cg, dtype=dtype, band_closure=0)
+        if cg0 is None:
+            cg0, ws0 = cg, ws
+        nmask = level_mask(partition, i)
+        lane = _lane_mask_of(cg, ws, nmask)
+        cen_on = cg.cmap.center >= 0 and bool(nmask[cg.cmap.center])
+        tables, _ = pack_sweep_tables(ws, cg, dtype,
+                                      slot_mask=lane[: ws.Mp],
+                                      cen_on=cen_on)
+        (wdn, wup), _ = pack_rsweep_tables(ws, cg, dtype,
+                                           slot_mask=lane[: ws.Mp])
+        stages.append(SweepStageSpec(tables=tables, wtab_dn=wdn,
+                                     wtab_up=wup))
+
+    dist, _ = solve_sweep_staged(cg0, ws0, stages, [source], config,
+                                 interpret=interpret)
+    dist = dist[0]
+    prev = recover_prev_device(cg0, dist)
+    prev[source] = source
+    return BellmanFordMoore(prev=prev, dist=dist)
+
+
 def bfm_multiphase(
     A: sp.csr_matrix,
     source: int,
@@ -340,9 +465,14 @@ def bfm_multiphase(
     variant predates node doubling).
 
     method='stream' runs the circulant fast path (per-level repacked
-    weights, masked staged streamed solve in one dispatch); 'ell' is the
+    weights, masked staged streamed solve in one dispatch); 'sweep' the
+    directional-sweep engine (~3-4 rounds per stage); 'ell' is the
     general-graph reference implementation.
     """
+    if method == "sweep":
+        return _bfm_multiphase_sweep(A, source, gr, U, partition,
+                                     interpolant, config, nlevels,
+                                     interpret=interpret)
     if method == "stream":
         return _bfm_multiphase_stream(A, source, gr, U, partition,
                                       interpolant, config, nlevels,

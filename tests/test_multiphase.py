@@ -159,6 +159,35 @@ def test_bfm_multiphase_stream_matches_ell(tiny_annulus, tiny_velocity):
                                rtol=1e-5, atol=5e-3)
 
 
+def test_bfm_ms_sweep_matches_ell(tiny_annulus, tiny_velocity):
+    # the directional-sweep staged engine must reproduce the ELL
+    # reference implementation: same finite set, same distances
+    gr, A, halo = tiny_annulus
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    D_ell = bfm_ms(A, halo, src, gr, tiny_velocity, F32)
+    D_sw = bfm_ms(A, halo, src, gr, tiny_velocity, F32,
+                  method="sweep", interpret=True)
+    ok = np.isfinite(D_ell.dist)
+    np.testing.assert_array_equal(np.isfinite(D_sw.dist), ok)
+    np.testing.assert_allclose(D_sw.dist[ok], D_ell.dist[ok],
+                               rtol=1e-5, atol=5e-3)
+
+
+def test_bfm_multiphase_sweep_matches_ell(tiny_annulus, tiny_velocity):
+    gr, A, halo = tiny_annulus
+    prof = rt.velocity_profile()
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    D_ell = bfm_multiphase(A, src, gr, tiny_velocity, interpolant=interp,
+                           config=F32)
+    D_sw = bfm_multiphase(A, src, gr, tiny_velocity, interpolant=interp,
+                          config=F32, method="sweep", interpret=True)
+    ok = np.isfinite(D_ell.dist)
+    np.testing.assert_array_equal(np.isfinite(D_sw.dist), ok)
+    np.testing.assert_allclose(D_sw.dist[ok], D_ell.dist[ok],
+                               rtol=1e-5, atol=5e-3)
+
+
 def test_find_new_source_min(tiny_annulus, tiny_velocity):
     gr, A, halo = tiny_annulus
     src = rt.closest_point(gr, 0.0, R, system="polar")
