@@ -306,9 +306,11 @@ def travel_time_table_3d(
     traffic is the (S, n_receivers) table only.  engine='xla' is the
     pure-jnp sweep (compiles per chip anywhere); engine='pallas' runs
     the multi-sweep kernel (ops/sweep3d.py), with `interpret=True` for
-    virtual CPU-mesh validation.  Zero collectives anywhere.
+    virtual CPU-mesh validation; engine='sweep' the directional
+    plane-sweep solver (~2-3 rounds).  Zero collectives anywhere.
     """
-    from ..solvers.solve3d import _solve3d_jit, _solve3d_kernel_jit
+    from ..solvers.solve3d import (_solve3d_jit, _solve3d_kernel_jit,
+                                   _solve3d_sweep_jit)
 
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
@@ -337,6 +339,13 @@ def travel_time_table_3d(
             st = _solve3d_jit(src, W, packed.scan_costs, tol,
                               config.max_iters, scan_every)
             return st.dist.reshape(-1)[ridx]
+    elif engine == "sweep":
+        W = jnp.asarray(packed.W_np)
+
+        def one(src):
+            st = _solve3d_sweep_jit(src[None], W, packed.scan_costs, tol,
+                                    config.max_iters, (0, 1, 2), 1)
+            return st.dist[0].reshape(-1)[ridx]
     else:
         raise ValueError(f"unknown engine {engine!r}")
 

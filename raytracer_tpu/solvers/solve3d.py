@@ -115,6 +115,95 @@ class Solve3DState(NamedTuple):
     it: jax.Array
 
 
+def _plane_sweep3d(d, W, scan_costs, axis: int, down: bool):
+    """One Gauss-Seidel plane sweep along `axis` (directional sweeping).
+
+    Planes are processed sequentially (a lax.scan over the axis,
+    reverse=True for the descending/down direction): the 9 cross taps
+    (shift[axis] = +1 for down, -1 for up) read the neighbouring plane
+    ALREADY UPDATED this sweep, so arrivals propagate across the whole
+    box along `axis` in a single pass; the 8 in-plane taps then run
+    Gauss-Seidel within the plane, and the two in-plane min-plus axis
+    scans (_axis_scan) give full single-line reach per plane visit.
+    Every candidate is a real path cost, so the SSSP fixpoint is that of
+    the Jacobi engines.  The fast-sweeping analog of ops/sweep_theta.py
+    for the structured 3-D grid (reference workload:
+    src/Dijsktra.jl:196-292)."""
+    sgn = +1 if down else -1
+    cross = [s for s, sh in enumerate(SHIFTS) if sh[axis] == sgn]
+    inpl = [s for s, sh in enumerate(SHIFTS) if sh[axis] == 0]
+    oaxes = [a for a in (0, 1, 2) if a != axis]
+
+    def pl_shift(s):
+        sh = SHIFTS[s]
+        return (sh[oaxes[0]], sh[oaxes[1]])
+
+    xs_d = jnp.moveaxis(d, axis, 0)
+    # loop-invariant: XLA hoists these transposed layouts out of the
+    # surrounding while_loop, so they materialise once per solve
+    xs_W = jnp.moveaxis(W, 1 + axis, 1)
+    xs_c = []
+    for a in oaxes:
+        cf, cb = scan_costs[a]
+        xs_c += [jnp.moveaxis(cf, axis, 0), jnp.moveaxis(cb, axis, 0)]
+
+    def step(prev, x):
+        cur, Wp, c0f, c0b, c1f, c1b = x
+        for s in cross:
+            da, db = pl_shift(s)
+            cur = jnp.minimum(cur, jnp.roll(prev, (-da, -db), axis=(0, 1))
+                              + Wp[s])
+        for s in inpl:
+            da, db = pl_shift(s)
+            cur = jnp.minimum(cur, jnp.roll(cur, (-da, -db), axis=(0, 1))
+                              + Wp[s])
+        cur = _axis_scan(cur, c0f, c0b, 0)
+        cur = _axis_scan(cur, c1f, c1b, 1)
+        return cur, cur
+
+    init = jnp.full_like(xs_d[0], jnp.inf)
+    _, ys = jax.lax.scan(step, init,
+                         (xs_d, jnp.moveaxis(xs_W, 1, 0)) + tuple(xs_c),
+                         reverse=down)
+    return jnp.moveaxis(ys, 0, axis)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "axes", "S"))
+def _solve3d_sweep_jit(srcs, W, scan_costs, tol, max_iters: int,
+                       axes: Tuple[int, ...] = (0, 1, 2),
+                       S: int = 1) -> Solve3DState:
+    """Directional-sweep solve: down+up plane sweeps along each axis per
+    round; converges in ~2-3 rounds where the Jacobi engines take
+    O(n0+n1+n2) iterations (tests pin equality).  `it` counts ROUNDS.
+    srcs: (S,) flat source ids; S > 1 vmaps the round (the per-plane W
+    stream is shared across the batch)."""
+    shp = W.shape[1:]
+    n = shp[0] * shp[1] * shp[2]
+    srcs = jnp.atleast_1d(srcs).astype(jnp.int32)
+    dist0 = (jnp.arange(n, dtype=jnp.int32)[None, :] == srcs[:, None])
+    dist0 = jnp.where(dist0, jnp.zeros((), W.dtype),
+                      jnp.asarray(jnp.inf, W.dtype)).reshape((S,) + shp)
+
+    def round_one(d):
+        for a in axes:
+            d = _plane_sweep3d(d, W, scan_costs, a, True)
+            d = _plane_sweep3d(d, W, scan_costs, a, False)
+        return d
+
+    def body(s: Solve3DState):
+        d = jax.vmap(round_one)(s.dist) if S > 1 else \
+            round_one(s.dist[0])[None]
+        changed = jnp.any(d < s.dist - tol)
+        return Solve3DState(d, changed, s.it + 1)
+
+    def cond(s: Solve3DState):
+        return s.changed & (s.it < max_iters)
+
+    return jax.lax.while_loop(
+        cond, body, Solve3DState(dist0, jnp.asarray(True),
+                                 jnp.zeros((), jnp.int32)))
+
+
 @functools.partial(jax.jit, static_argnames=("max_iters", "scan_every"))
 def _solve3d_jit(src, W, scan_costs, tol, max_iters: int, scan_every: int) -> Solve3DState:
     """src: flat source node id (scalar).  The initial field is built on
@@ -354,7 +443,10 @@ def solve3d(
 
     engine: 'pallas' = the multi-sweep VMEM-resident kernel
     (ops/sweep3d.py, `sweeps` relaxations per dispatch); 'xla' = the
-    jnp roll sweep; 'auto' picks pallas on TPU.  Identical fixpoint.
+    jnp roll sweep; 'sweep' = directional plane sweeps (Gauss-Seidel
+    fast sweeping, ~2-3 rounds instead of O(n) Jacobi iterations;
+    `iters` then counts rounds); 'auto' picks pallas on TPU.  Identical
+    fixpoint.
     scan_every: axis-scan cadence in iterations (0 = never; None =
     engine default).  The scans only accelerate convergence (136 -> 152
     iterations without them at 1M nodes) but cost ~3.8 ms/firing per
@@ -410,6 +502,27 @@ def solve3d(
     if engine == "pallas":
         S = (source_batch if source_batch > 0
              else _auto_source_batch(plan, dtype.itemsize, len(sources)))
+    elif engine == "sweep":
+        S = max(1, min(source_batch, len(sources)))
+        groups = [sources[lo:lo + S] for lo in range(0, len(sources), S)]
+        for grp in groups:
+            g_src = np.asarray(grp, dtype=np.int32)
+            if len(g_src) < S:
+                g_src = np.concatenate(
+                    [g_src, np.full(S - len(g_src), g_src[-1], np.int32)])
+            st = _solve3d_sweep_jit(g_src, Wdev, packed.scan_costs, tol,
+                                    config.max_iters, (0, 1, 2), S)
+            pending.append((len(grp),
+                            _flat3d_it_batched(st.dist, st.it) if ridx is None
+                            else _gather3d_it_batched(st.dist, st.it, ridx)))
+        iters = 0
+        si = 0
+        for ngrp, vals_it in pending:
+            arr = np.asarray(vals_it)
+            out[si:si + ngrp] = arr[:ngrp, :-1]
+            iters = max(iters, int(arr[0, -1]))
+            si += ngrp
+        return out, iters
     else:
         S = 1
     if S > 1:

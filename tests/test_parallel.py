@@ -138,3 +138,7 @@ def test_sharded_3d_table():
     tab_p = travel_time_table_3d(packed, sources, recs, F64, mesh,
                                  engine="pallas", interpret=True)
     np.testing.assert_allclose(tab_p, ref, rtol=1e-9, atol=1e-6)
+
+    tab_s = travel_time_table_3d(packed, sources, recs, F64, mesh,
+                                 engine="sweep")
+    np.testing.assert_allclose(tab_s, ref, rtol=1e-9, atol=1e-6)

@@ -116,3 +116,23 @@ def test_solve3d_pallas_engine_matches_xla(scan_every):
                      engine="pallas", interpret=True, receivers=recs,
                      _packed=packed)
     np.testing.assert_array_equal(tab[0], d_pal[0][recs])
+
+
+def test_solve3d_sweep_engine_matches_xla():
+    # directional plane sweeps: same fixpoint as the Jacobi engine in
+    # far fewer rounds; single + batched (incl. padded tail group) +
+    # receiver gather
+    g, U = _wedge((9, 6, 5))
+    packed = prepare3d(g, U, F32)
+    srcs = [len(g) // 2, 3, len(g) - 2]
+    d_xla, it_x = solve3d(g, U, srcs, F32, engine="xla", _packed=packed)
+    d_sw, it_s = solve3d(g, U, srcs, F32, engine="sweep", _packed=packed)
+    assert 0 < it_s <= it_x  # rounds, not Jacobi iterations
+    np.testing.assert_allclose(d_sw, d_xla, rtol=1e-6, atol=5e-3)
+    d_bat, _ = solve3d(g, U, srcs, F32, engine="sweep", source_batch=2,
+                       _packed=packed)
+    np.testing.assert_allclose(d_bat, d_sw, rtol=1e-6, atol=5e-3)
+    recs = [0, len(g) // 3, len(g) - 1]
+    tab, _ = solve3d(g, U, srcs, F32, engine="sweep", source_batch=2,
+                     receivers=recs, _packed=packed)
+    np.testing.assert_allclose(tab, d_bat[:, recs], rtol=0, atol=0)

@@ -87,6 +87,13 @@ def run_on_chip():
     np.testing.assert_allclose(d_sw[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3,
                                err_msg="warm-started streamed path on TPU")
 
+    # directional-sweep solver (radial Pallas sweeps + closure scans)
+    from raytracer_tpu.ops.sweep_theta import solve_circulant_sweep
+
+    d_dsw, it_dsw = solve_circulant_sweep(cg, [src], F32, engine="pallas")
+    np.testing.assert_allclose(d_dsw[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3,
+                               err_msg="directional-sweep solver vs jnp circulant on TPU")
+
     # staged masked solve (the ms/multiphase/phases engine)
     prof = rt.velocity_profile()
     interp = rt.LinearInterpolation(prof.r, prof.Vp)
@@ -122,7 +129,8 @@ def run_on_chip():
 
     print(f"TPU parity OK: twrapped iters={it_t}, wrapped iters={it_w}, "
           f"diag iters={it_d}, pallas iters={it_p}, stream iters={it_s}, "
-          f"stream-warm iters={it_sw}, staged-ms nodes={ok2.sum()}, "
+          f"stream-warm iters={it_sw}, dir-sweep rounds={it_dsw}, "
+          f"staged-ms nodes={ok2.sum()}, "
           f"banded iters={it_b}, n={ok.sum()} nodes compared")
 
 
