@@ -158,7 +158,7 @@ def main():
     # compile latency, 30s-15min for the same program; a second attempt
     # usually hits the compile service's cache), fastest first
     best, method = None, None
-    for probe_method, good_enough in (("twrapped", 0.05), ("sweep", 0.045),
+    for probe_method, good_enough in (("sweep", 0.040), ("twrapped", 0.05),
                                       ("twrapped", 0.08),
                                       ("wrapped", 0.20), ("diag", 0.25),
                                       ("pallas", 0.5)):

@@ -115,7 +115,22 @@ class Solve3DState(NamedTuple):
     it: jax.Array
 
 
-def _plane_sweep3d(d, W, scan_costs, axis: int, down: bool):
+def _sweep_layout3d(W, scan_costs, axis: int):
+    """Per-axis plane layouts for _plane_sweep3d, computed ONCE per solve
+    (outside the while_loop — a guaranteed hoist of the ~109 MB weight
+    transposes instead of relying on XLA's loop-invariant code motion):
+    W as (nA, 26, p0, p1) planes plus the four in-plane scan-cost plane
+    stacks."""
+    oaxes = [a for a in (0, 1, 2) if a != axis]
+    xs_W = jnp.moveaxis(jnp.moveaxis(W, 1 + axis, 1), 1, 0)
+    xs_c = []
+    for a in oaxes:
+        cf, cb = scan_costs[a]
+        xs_c += [jnp.moveaxis(cf, axis, 0), jnp.moveaxis(cb, axis, 0)]
+    return (xs_W,) + tuple(xs_c)
+
+
+def _plane_sweep3d(d, layout, axis: int, down: bool):
     """One Gauss-Seidel plane sweep along `axis` (directional sweeping).
 
     Planes are processed sequentially (a lax.scan over the axis,
@@ -139,13 +154,6 @@ def _plane_sweep3d(d, W, scan_costs, axis: int, down: bool):
         return (sh[oaxes[0]], sh[oaxes[1]])
 
     xs_d = jnp.moveaxis(d, axis, 0)
-    # loop-invariant: XLA hoists these transposed layouts out of the
-    # surrounding while_loop, so they materialise once per solve
-    xs_W = jnp.moveaxis(W, 1 + axis, 1)
-    xs_c = []
-    for a in oaxes:
-        cf, cb = scan_costs[a]
-        xs_c += [jnp.moveaxis(cf, axis, 0), jnp.moveaxis(cb, axis, 0)]
 
     def step(prev, x):
         cur, Wp, c0f, c0b, c1f, c1b = x
@@ -162,9 +170,7 @@ def _plane_sweep3d(d, W, scan_costs, axis: int, down: bool):
         return cur, cur
 
     init = jnp.full_like(xs_d[0], jnp.inf)
-    _, ys = jax.lax.scan(step, init,
-                         (xs_d, jnp.moveaxis(xs_W, 1, 0)) + tuple(xs_c),
-                         reverse=down)
+    _, ys = jax.lax.scan(step, init, (xs_d,) + layout, reverse=down)
     return jnp.moveaxis(ys, 0, axis)
 
 
@@ -184,10 +190,12 @@ def _solve3d_sweep_jit(srcs, W, scan_costs, tol, max_iters: int,
     dist0 = jnp.where(dist0, jnp.zeros((), W.dtype),
                       jnp.asarray(jnp.inf, W.dtype)).reshape((S,) + shp)
 
+    layouts = {a: _sweep_layout3d(W, scan_costs, a) for a in axes}
+
     def round_one(d):
         for a in axes:
-            d = _plane_sweep3d(d, W, scan_costs, a, True)
-            d = _plane_sweep3d(d, W, scan_costs, a, False)
+            d = _plane_sweep3d(d, layouts[a], a, True)
+            d = _plane_sweep3d(d, layouts[a], a, False)
         return d
 
     def body(s: Solve3DState):
