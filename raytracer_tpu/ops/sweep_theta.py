@@ -605,6 +605,33 @@ def _rsweep_call(bufs, wtab, rst: RSweepStatic, upward: bool,
     )(wtab, bufs)
 
 
+def _hscan(v, tbl: SweepTables, static: SweepStatic):
+    """Hierarchical horizontal closure: ascending spans so a run of
+    length L composes from its binary digits as the field updates level
+    by level (Gauss-Seidel between levels; Jacobi across the dm taps
+    within one (level, sign)).
+
+    The 2*cap+1 slot-drift taps read STATIC slices of ONE +inf-padded
+    copy of the span-rolled field instead of 2*cap+1 full-field lane
+    rolls: identical semantics (a lane roll's wrapped slot reads are
+    +inf-masked by the wh rows anyway, and +inf-pad reads stay +inf)
+    with ~cap x less memory traffic per level."""
+    cap = static.h_cap
+    S, nt, ML = v.shape
+    inf = jnp.asarray(jnp.inf, v.dtype)
+    pad = jnp.full((S, nt, cap), inf, v.dtype)
+    for k, span in enumerate(static.h_spans):
+        for s_i, sgn in enumerate((+1, -1)):
+            vp = jnp.concatenate(
+                [pad, jnp.roll(v, sgn * span, axis=1), pad], axis=2)
+            cur = v
+            for dm in range(-cap, cap + 1):
+                w = tbl.wh[k][s_i, dm + cap][None, None, :]
+                cur = jnp.minimum(cur, vp[:, :, cap + dm: cap + dm + ML] + w)
+            v = cur
+    return v
+
+
 class SweepState(NamedTuple):
     dist: jax.Array    # (S, nt, ML)
     cen: jax.Array     # (S,)
@@ -673,17 +700,7 @@ def _solve_sweep_jit(src_m, src_c, src_cen, tbl: SweepTables, tol,
         return v
 
     def hscan(v):
-        # ascending spans: a run of length L composes from its binary
-        # digits as the field updates level by level (Gauss-Seidel)
-        cap = static.h_cap
-        for k, span in enumerate(static.h_spans):
-            for s_i, sgn in enumerate((+1, -1)):
-                for dm in range(-cap, cap + 1):
-                    w = tbl.wh[k][s_i, dm + cap][None, None, :]
-                    v = jnp.minimum(
-                        v, jnp.roll(jnp.roll(v, sgn * span, axis=1),
-                                    -dm, axis=2) + w)
-        return v
+        return _hscan(v, tbl, static)
 
     def pair(state: SweepState) -> SweepState:
         v, cen = state.dist, state.cen
@@ -805,15 +822,7 @@ def _run_sweep_rounds(dist0, cen0, it0, tbl: SweepTables, wtab_dn, wtab_up,
         return v
 
     def hscan(v):
-        cap = static.h_cap
-        for k, span in enumerate(static.h_spans):
-            for s_i, sgn in enumerate((+1, -1)):
-                for dm in range(-cap, cap + 1):
-                    w = tbl.wh[k][s_i, dm + cap][None, None, :]
-                    v = jnp.minimum(
-                        v, jnp.roll(jnp.roll(v, sgn * span, axis=1),
-                                    -dm, axis=2) + w)
-        return v
+        return _hscan(v, tbl, static)
 
     # seam window: 8 circular columns centred on the seam; destinations
     # are window positions 2..5 = columns [nt-2, nt-1, 0, 1]

@@ -51,31 +51,80 @@ def _region_mask_above(partition, k: int) -> np.ndarray:
            ((partition.boundary_of >= 1) & (partition.boundary_of <= k))
 
 
-def _phase_setup(A, halo, gr, U, k: int, config, _reuse=None):
+def _phase_setup(A, halo, gr, U, k: int, config, _reuse=None,
+                 engine: str = "stream"):
     from ..ops.circulant import build_circulant
     from ..ops.stream_t import _stream_tables, masked_stream_tables
     from ..ops.wrapped_t import pack_twrapped_stencil
     from .multiphase import _halo_slot_map, _lane_mask_of
 
-    key = ("phase_setup", k)
+    key = ("phase_setup", k, engine)
     if _reuse is not None and key in _reuse:
         return _reuse[key]
     partition = partition_grid(gr)
     dtype = np.dtype(config.dtype)
     cg = build_circulant(gr, A, halo, U, dtype=dtype)
     ws = pack_twrapped_stencil(cg, dtype=dtype, band_closure=0)
-    _, static = _stream_tables(ws, dtype)
     halo_map = _halo_slot_map(cg, ws, halo)
     region = _region_mask_above(partition, k)
     lane = _lane_mask_of(cg, ws, region)
     cen_on = cg.cmap.center >= 0 and bool(region[cg.cmap.center])
-    tables = masked_stream_tables(ws, lane[: ws.Mp], cen_on, dtype)
+    if engine == "sweep":
+        from ..ops.sweep_theta import pack_rsweep_tables, pack_sweep_tables
+
+        tbl, _ = pack_sweep_tables(ws, cg, dtype, slot_mask=lane[: ws.Mp],
+                                   cen_on=cen_on)
+        (wdn, wup), _ = pack_rsweep_tables(ws, cg, dtype,
+                                           slot_mask=lane[: ws.Mp])
+        static, tables = None, (tbl, wdn, wup)
+    else:
+        _, static = _stream_tables(ws, dtype)
+        tables = masked_stream_tables(ws, lane[: ws.Mp], cen_on, dtype)
     bmask = partition.boundary_of == k
     keep = _lane_mask_of(cg, ws, bmask)
     out = (cg, ws, static, tables, lane, keep, halo_map)
     if _reuse is not None:
         _reuse[key] = out
     return out
+
+
+def _phase_stages(static, tables, lane, keep, halo_map, engine: str,
+                  reflected: bool):
+    """Stage list for one region leg (or the two-leg reflected solve) on
+    either staged engine."""
+    if engine == "sweep":
+        from ..ops.sweep_theta import SweepStageSpec
+
+        tbl, wdn, wup = tables
+        stages = [SweepStageSpec(tables=tbl, wtab_dn=wdn, wtab_up=wup,
+                                 halo_map=halo_map)]
+        if reflected:
+            stages.append(SweepStageSpec(tables=tbl, wtab_dn=wdn,
+                                         wtab_up=wup, reset_keep=keep,
+                                         cen_keep=False,
+                                         halo_map=halo_map))
+        return stages
+    from ..ops.stream_t import StageSpec
+
+    stages = [StageSpec(tables=tables, static=static, sel_mask=lane,
+                        halo_map=halo_map)]
+    if reflected:
+        stages.append(StageSpec(tables=tables, static=static,
+                                sel_mask=lane, reset_keep=keep,
+                                cen_keep=False, halo_map=halo_map))
+    return stages
+
+
+def _staged_solve(cg, ws, stages, source, config, interpret, engine):
+    if engine == "sweep":
+        from ..ops.sweep_theta import solve_sweep_staged
+
+        return solve_sweep_staged(cg, ws, stages, [source], config,
+                                  interpret=interpret)
+    from ..ops.stream_t import solve_stream_staged
+
+    return solve_stream_staged(cg, ws, stages, [source], config,
+                               interpret=interpret)
 
 
 def region_travel_times(
@@ -88,21 +137,22 @@ def region_travel_times(
     config: SolverConfig = DEFAULT_SOLVER_CONFIG,
     interpret: bool = False,
     _reuse: Optional[dict] = None,
+    engine: str = "stream",
 ) -> np.ndarray:
     """(n,) single-leg field: SSSP restricted to the region above the
     reflector (the 'down leg' primitive; reflected_travel_times composes
     two of these through the boundary restart).  Used by the tests to
     cross-check the staged solve by reciprocity:
-    PcP(s, r) = min over boundary nodes b of leg_s[b] + leg_r[b]."""
-    from ..ops.stream_t import StageSpec, solve_stream_staged
-
+    PcP(s, r) = min over boundary nodes b of leg_s[b] + leg_r[b].
+    engine='sweep' runs the directional-sweep staged solver (~3-4
+    rounds per stage); 'stream' the streamed Jacobi staged solver."""
     k = REFLECTORS[reflector.lower()]
-    cg, ws, static, tables, lane, _, halo_map = _phase_setup(
-        A, halo, gr, U, k, config, _reuse=_reuse)
-    stages = [StageSpec(tables=tables, static=static, sel_mask=lane,
-                        halo_map=halo_map)]
-    dist, _ = solve_stream_staged(cg, ws, stages, [source], config,
-                                  interpret=interpret)
+    cg, ws, static, tables, lane, keep, halo_map = _phase_setup(
+        A, halo, gr, U, k, config, _reuse=_reuse, engine=engine)
+    stages = _phase_stages(static, tables, lane, keep, halo_map, engine,
+                           reflected=False)
+    dist, _ = _staged_solve(cg, ws, stages, source, config, interpret,
+                            engine)
     return dist[0]
 
 
@@ -116,25 +166,21 @@ def reflected_travel_times(
     config: SolverConfig = DEFAULT_SOLVER_CONFIG,
     interpret: bool = False,
     _reuse: Optional[dict] = None,
+    engine: str = "stream",
 ) -> np.ndarray:
     """(n,) first-arrival times of the branch reflected at `reflector`
     (PcP with U = Vp, ScS with U = Vs).  Two region-masked stages in one
     device dispatch; nodes outside the region return +inf.  Pass a dict
     as `_reuse` to amortise the one-time circulant pack (~3 s host) over
-    repeated solves (~0.1 s each)."""
-    from ..ops.stream_t import StageSpec, solve_stream_staged
-
+    repeated solves (~0.1 s each).  engine='sweep' runs the
+    directional-sweep staged solver (~3-4 rounds per stage)."""
     k = REFLECTORS[reflector.lower()]
     cg, ws, static, tables, lane, keep, halo_map = _phase_setup(
-        A, halo, gr, U, k, config, _reuse=_reuse)
-    stages = [
-        StageSpec(tables=tables, static=static, sel_mask=lane,
-                  halo_map=halo_map),
-        StageSpec(tables=tables, static=static, sel_mask=lane,
-                  reset_keep=keep, cen_keep=False, halo_map=halo_map),
-    ]
-    dist, _ = solve_stream_staged(cg, ws, stages, [source], config,
-                                  interpret=interpret)
+        A, halo, gr, U, k, config, _reuse=_reuse, engine=engine)
+    stages = _phase_stages(static, tables, lane, keep, halo_map, engine,
+                           reflected=True)
+    dist, _ = _staged_solve(cg, ws, stages, source, config, interpret,
+                            engine)
     return dist[0]
 
 
@@ -187,12 +233,21 @@ def phase_travel_times(
     for S phases).
 
     'P'/'S'     -> plain solve (AnnulusSolver fast path)
+    'Pdiff'/'Sdiff' -> the same field: an SPM first-arrival graph path
+                   naturally creeps along the core-mantle boundary, so
+                   beyond the direct-P shadow (~100 deg) the surface
+                   first arrival IS the diffracted branch (the 150-deg
+                   anchor ~1051 s matches AK135 Pdiff; ACCURACY.md).
+                   The alias exists so the intent is explicit — the
+                   reference's library stub for these models
+                   (src/multiphase/library.jl:9-31) is dead code that
+                   never produced a field.
     'PcP'/'ScS' -> reflected_travel_times at the CMB
     'PP'        -> reciprocity composition of two direct fields;
                    requires `receivers` (returns one time per receiver)
     """
     p = phase.upper()
-    if p in ("P", "S"):
+    if p in ("P", "S", "PDIFF", "SDIFF"):
         from .api import AnnulusSolver
 
         solver = AnnulusSolver(gr, A, halo, U, config,
@@ -218,4 +273,4 @@ def phase_travel_times(
             out.append(pp_travel_times(t_src, t_rcv, gr, source, int(r_)))
         return np.asarray(out)
     raise ValueError(f"unknown phase {phase!r}; "
-                     f"supported: P, S, PcP, ScS, PP")
+                     f"supported: P, S, Pdiff, Sdiff, PcP, ScS, PP")

@@ -136,3 +136,36 @@ def test_annulus_solver_banded_route(delaunay):
     tab = solver.travel_time_table([src], recs)
     np.testing.assert_allclose(tab[0], dist[np.asarray(recs)], rtol=1e-6,
                                atol=1e-6)
+
+
+def test_banded_gs_matches_jacobi_delaunay(delaunay):
+    # directional block sweeps: same fixpoint as the Jacobi banded
+    # solve in far fewer rounds; exercises B > n_pad safety clamp too
+    from raytracer_tpu.ops.banded import solve_banded_gs
+
+    gr, A, halo, U = delaunay
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    bg = prepare_banded(A, halo, gr, U, F64)
+    d_j, it_j = solve_banded(bg, [src], F64)
+    d_g, it_g = solve_banded_gs(bg, [src], F64)
+    assert 0 < it_g <= it_j
+    np.testing.assert_allclose(d_g, d_j, rtol=0, atol=1e-9)
+    # batched + halo-carrying annulus
+    srcs = [src, 3, len(gr.r) - 2]
+    d_gb, _ = solve_banded_gs(bg, srcs, F64)
+    np.testing.assert_allclose(d_gb[0], d_g[0], rtol=0, atol=0)
+    d_jb, _ = solve_banded(bg, srcs, F64)
+    np.testing.assert_allclose(d_gb, d_jb, rtol=0, atol=1e-9)
+
+
+def test_banded_gs_matches_ell_with_halo(annulus):
+    from raytracer_tpu.ops.banded import solve_banded_gs
+
+    gr, A, halo, U = annulus
+    assert halo.size > 0
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    bg = prepare_banded(A, halo, gr, U, F64)
+    d_g, it_g = solve_banded_gs(bg, [src], F64)
+    D = rt.bfm(A, halo, src, gr, U, F64)
+    assert it_g > 0
+    np.testing.assert_allclose(d_g[0], D.dist, rtol=0, atol=1e-9)

@@ -125,3 +125,40 @@ def test_unknown_phase_raises(annulus_mid):
     with pytest.raises(ValueError):
         phase_travel_times(A, halo, 0, gr, U, phase="PKIKP", config=F32,
                            interpret=True)
+
+
+def test_pdiff_alias_matches_direct_and_ak135(annulus_mid):
+    # the SPM first-arrival field IS Pdiff beyond the direct-P shadow:
+    # 'Pdiff' aliases the plain solve, and the 150-deg surface arrival
+    # sits in the AK135 Pdiff window (~1050 s; see ACCURACY.md)
+    gr, A, halo, U = annulus_mid
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    r150 = rt.closest_point(gr, np.deg2rad(150.0), R, system="polar")
+    t_p = phase_travel_times(A, halo, src, gr, U, "P", F32,
+                             interpret=True)
+    t_pd = phase_travel_times(A, halo, src, gr, U, "Pdiff", F32,
+                              interpret=True)
+    np.testing.assert_array_equal(t_pd, t_p)
+    assert 1000.0 < t_pd[r150] < 1150.0
+
+
+def test_pcp_sweep_engine_matches_stream(annulus_mid):
+    # the directional-sweep staged engine must reproduce the streamed
+    # staged engine's reflected field (finite sets AND distances)
+    gr, A, halo, U = annulus_mid
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    d_st = reflected_travel_times(A, halo, src, gr, U, "cmb", F32,
+                                  interpret=True)
+    d_sw = reflected_travel_times(A, halo, src, gr, U, "cmb", F32,
+                                  interpret=True, engine="sweep")
+    ok = np.isfinite(d_st)
+    np.testing.assert_array_equal(ok, np.isfinite(d_sw))
+    np.testing.assert_allclose(d_sw[ok], d_st[ok], rtol=1e-6, atol=5e-3)
+    # single-leg primitive too
+    l_st = region_travel_times(A, halo, src, gr, U, "cmb", F32,
+                               interpret=True)
+    l_sw = region_travel_times(A, halo, src, gr, U, "cmb", F32,
+                               interpret=True, engine="sweep")
+    ok = np.isfinite(l_st)
+    np.testing.assert_array_equal(ok, np.isfinite(l_sw))
+    np.testing.assert_allclose(l_sw[ok], l_st[ok], rtol=1e-6, atol=5e-3)
