@@ -38,7 +38,7 @@ def bench_table_64(rows, root, cache_dir):
     receivers = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
                  for d in rec_degs]
 
-    for method, batch in (("twrapped", 8), ("wrapped", 8)):
+    for method, batch in (("twrapped", 8), ("sweep", 8), ("wrapped", 8)):
         solver = rt.AnnulusSolver(gr, A, halo, U, cfg, method=method,
                                   cache_dir=cache_dir)
         if solver.method != method:
@@ -159,30 +159,43 @@ def bench_3d(rows, root, cache_dir):
     n0, n1, n2 = g.nnods
     ii, jj = np.meshgrid(np.arange(0, n0, 4), np.arange(0, n1, 4))
     receivers = ((n2 - 1) * n1 * n0 + jj.ravel() * n0 + ii.ravel()).astype(np.int64)
-    solve3d(g, U, sources[:8], cfg, _packed=packed,
-            receivers=receivers)  # compile (auto source batch)
-    dt = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        table, iters = solve3d(g, U, sources, cfg, _packed=packed,
-                               receivers=receivers)
-        dt = min(dt, time.time() - t0)
-    assert table.shape == (64, len(receivers)) and np.isfinite(table).all()
-    log(f"3-D {g.nnods_total} nodes, {len(sources)} sources: {dt:.2f}s "
-        f"({dt/len(sources)*1e3:.0f} ms/source, {iters} iters)")
-    rows.append({
-        "workload": "multi-source 3-D table (BASELINE #5)",
-        "config": f"{nt}x{npn}x{nr} spherical wedge ({g.nnods_total:,} nodes), "
-                  f"AK135 Vp, 64 sources x {len(receivers)} surface receivers, solve3d",
-        "ms_per_source": round(dt / len(sources) * 1e3),
-        "total_s": round(dt, 2),
-        "iters": iters,
-        "notes": "Pallas multi-sweep kernel (ops/sweep3d.py), auto source "
-                 "batching (7 fields share each 109 MB weight stream per "
-                 "sweep); receiver-only device->host pulls, iteration count "
-                 "bundled (one pull per group); no reference numbers exist "
-                 "(legacy CUDA 3-D was removed upstream)",
-    })
+    notes = {
+        "pallas": "Pallas multi-sweep kernel (ops/sweep3d.py), auto source "
+                  "batching (7 fields share each 109 MB weight stream per "
+                  "sweep); receiver-only device->host pulls, iteration count "
+                  "bundled (one pull per group); no reference numbers exist "
+                  "(legacy CUDA 3-D was removed upstream)",
+        "sweep": "directional plane sweeps (solve3d engine='sweep', "
+                 "source_batch=8): iters counts triaxial GS rounds",
+    }
+    for engine, kw in (("pallas", {}), ("sweep", {"source_batch": 8})):
+        try:
+            solve3d(g, U, sources[:8], cfg, _packed=packed, engine=engine,
+                    receivers=receivers, **kw)  # compile
+            dt = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                table, iters = solve3d(g, U, sources, cfg, _packed=packed,
+                                       engine=engine, receivers=receivers,
+                                       **kw)
+                dt = min(dt, time.time() - t0)
+        except Exception as e:  # noqa: BLE001
+            log(f"3-D engine={engine} skipped: {type(e).__name__}: {e}")
+            continue
+        assert table.shape == (64, len(receivers)) and np.isfinite(table).all()
+        log(f"3-D {g.nnods_total} nodes, {len(sources)} sources "
+            f"[{engine}]: {dt:.2f}s ({dt/len(sources)*1e3:.0f} ms/source, "
+            f"{iters} iters)")
+        rows.append({
+            "workload": "multi-source 3-D table (BASELINE #5)",
+            "config": f"{nt}x{npn}x{nr} spherical wedge ({g.nnods_total:,} nodes), "
+                      f"AK135 Vp, 64 sources x {len(receivers)} surface receivers, "
+                      f"solve3d engine={engine}",
+            "ms_per_source": round(dt / len(sources) * 1e3),
+            "total_s": round(dt, 2),
+            "iters": iters,
+            "notes": notes[engine],
+        })
 
 
 def main():
