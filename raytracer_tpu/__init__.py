@@ -42,6 +42,8 @@ from .models.delaunay import add_midpoints, triangle_annulus_2d
 from .solvers.dijkstra import dijkstra
 from .solvers.radius_stepping import radius_stepping
 from .solvers.path import backtrace_paths, recontruct_path, reconstruct_path
+from .solvers.sensitivity import (path_sensitivity, path_sensitivity_dual,
+                                  sensitivity_coo, sensitivity_matrix)
 from .solvers.types import BellmanFordMoore, Dijkstra, RadiusStepping
 from .utils.io import save_matfile, save_solution_npz, travel_times
 from .utils.plotting import layers2plot, plot_paths
@@ -103,6 +105,10 @@ __all__ = [
     "backtrace_paths",
     "recontruct_path",
     "reconstruct_path",
+    "path_sensitivity",
+    "path_sensitivity_dual",
+    "sensitivity_coo",
+    "sensitivity_matrix",
     "BellmanFordMoore",
     "Dijkstra",
     "RadiusStepping",
