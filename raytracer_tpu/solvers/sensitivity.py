@@ -31,6 +31,13 @@ from ..ops.weights import _coords
 from .path import backtrace_paths
 
 
+def _n_nodes(gr) -> int:
+    """Total node count for both grid families (annulus: int nnods;
+    Grid3D: tuple nnods + nnods_total)."""
+    n = getattr(gr, "nnods_total", None)
+    return int(n) if n is not None else int(gr.nnods)
+
+
 def _twin_partners(n: int, halo) -> np.ndarray:
     """(n, P) padded partner table of the zero-cost twin merge pairs
     (models/annulus.py halo; a node may have several partners).  P=1
@@ -144,7 +151,7 @@ def sensitivity_coo(gr, U, prev, source, receivers, max_len: int,
     U = jnp.asarray(U)
     if U.ndim != 1:
         raise ValueError("device sensitivity supports scalar velocities")
-    partners = jnp.asarray(_twin_partners(int(gr.nnods), halo))
+    partners = jnp.asarray(_twin_partners(_n_nodes(gr), halo))
     return _coo_jit(coords, U, jnp.asarray(prev), source,
                     jnp.asarray(receivers), partners, max_len)
 
@@ -168,7 +175,7 @@ def sensitivity_matrix(gr, U, prev, source, receivers, max_len: int,
     U = jnp.asarray(U)
     if U.ndim != 1:
         raise ValueError("device sensitivity supports scalar velocities")
-    partners = jnp.asarray(_twin_partners(int(gr.nnods), halo))
+    partners = jnp.asarray(_twin_partners(_n_nodes(gr), halo))
     return _dense_jit(coords, U, jnp.asarray(prev), source,
                       jnp.asarray(receivers), partners, max_len,
-                      int(gr.nnods))
+                      _n_nodes(gr))

@@ -431,6 +431,55 @@ def _flat3d_it(dist, it):
     return jnp.concatenate([flat, it.astype(flat.dtype)[None]])
 
 
+@jax.jit
+def _prev3d_jit(dist3, W, src):
+    """Predecessor tree from a converged field: per node, the neighbour
+    attaining min_s dist[nbr_s] + W[s] (the fixpoint condition; ties by
+    first shift).  Source and unreachable nodes point to themselves."""
+    shape = dist3.shape
+    n = dist3.size
+    ids = jnp.arange(n, dtype=jnp.int32).reshape(shape)
+    best = jnp.full(shape, jnp.inf, dist3.dtype)
+    prev = ids
+    for s, (dk, dj, di) in enumerate(SHIFTS):
+        cand = jnp.roll(dist3, (-dk, -dj, -di), axis=(0, 1, 2)) + W[s]
+        nid = jnp.roll(ids, (-dk, -dj, -di), axis=(0, 1, 2))
+        take = cand < best
+        best = jnp.where(take, cand, best)
+        prev = jnp.where(take, nid, prev)
+    prev = jnp.where(jnp.isfinite(best), prev, ids)
+    return prev.reshape(-1).at[src].set(src.astype(jnp.int32))
+
+
+def recover_prev3d(gr: Grid3D, U: np.ndarray, dist, sources,
+                   config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+                   _packed: Packed3D = None):
+    """(S, nnods) int32 predecessor trees for converged solve3d fields.
+
+    The reference's 3-D Dijkstra keeps a prev dict and walks it
+    (src/Dijsktra.jl:28-33, 73-78); here prev is recovered after the
+    fact from the fixpoint condition in one device pass per source
+    (26 static rolls + argmin), so the solvers never carry index state.
+    Feed rows to `recontruct_path`/`backtrace_paths`/`path_sensitivity`
+    (no halo in 3-D).  Every chosen edge has w > 0, so backtraces
+    strictly descend and terminate at the source."""
+    packed = _packed if _packed is not None else prepare3d(gr, U, config)
+    if "W" not in packed.dcache:
+        packed.dcache["W"] = jnp.asarray(packed.W_np)
+    W = packed.dcache["W"]
+    sources = np.atleast_1d(np.asarray(sources, dtype=np.int32))
+    d = np.asarray(dist)
+    if d.ndim == 1 or d.ndim == 3:
+        d = d.reshape((1,) + packed.shape)
+    else:
+        d = d.reshape((len(sources),) + packed.shape)
+    out = [
+        _prev3d_jit(jnp.asarray(d[i]), W, jnp.asarray(sources[i]))
+        for i in range(len(sources))
+    ]
+    return np.stack([np.asarray(p) for p in out])
+
+
 def solve3d(
     gr: Grid3D,
     U: np.ndarray,
