@@ -42,6 +42,7 @@ from .models.delaunay import add_midpoints, triangle_annulus_2d
 from .solvers.dijkstra import dijkstra
 from .solvers.radius_stepping import radius_stepping
 from .solvers.path import backtrace_paths, recontruct_path, reconstruct_path
+from .solvers.refine import refine_path, refine_paths_batch, resample_path
 from .solvers.sensitivity import (path_sensitivity, path_sensitivity_dual,
                                   sensitivity_coo, sensitivity_matrix)
 from .solvers.types import BellmanFordMoore, Dijkstra, RadiusStepping
@@ -109,6 +110,9 @@ __all__ = [
     "path_sensitivity_dual",
     "sensitivity_coo",
     "sensitivity_matrix",
+    "refine_path",
+    "refine_paths_batch",
+    "resample_path",
     "BellmanFordMoore",
     "Dijkstra",
     "RadiusStepping",

@@ -1,0 +1,140 @@
+"""Bending refinement of SPM first-arrival paths (autodiff Fermat).
+
+The shortest-path method's first arrivals carry a systematic positive
+discretisation bias: graph paths are polylines through mesh nodes, so
+they overshoot the true ray time (+2.4-5.4 s over 4-95 deg at the
+reference driver config - see ACCURACY.md and the reference's own
+error.png vs TauP).  The classical cure is ray bending applied to the
+recovered SPM path (Moser, van Eck & Nolet, 1992): treat the polyline
+vertices as free variables and minimise the continuous travel-time
+functional.  The reference never implemented it; here it is ~60 lines
+of jax because the functional
+
+    t(P) = sum_segments |P_{i+1} - P_i| * mean_quad(1 / v(r))
+
+is differentiable end to end (jnp.interp of the radial velocity table,
+composite midpoint quadrature per segment) and the optimiser is optax
+Adam with the two endpoints pinned and an r <= r_max projection (rays
+must not leave the Earth).  vmaps over a batch of paths; on TPU a
+whole receiver fan refines in one dispatch.
+
+The refined time is a strict upper bound on the true Fermat minimum
+that starts below SPM's own estimate (same functional, more freedom
+than mesh vertices), and lands within the quadrature error of ray
+theory (tests pin ~0.2 s at 60 deg where SPM is +3 to +38 s off
+depending on grid).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import R
+
+
+def resample_path(points: np.ndarray, m: int) -> np.ndarray:
+    """Uniform arc-length resampling of a polyline (m output vertices,
+    endpoints preserved).  SPM paths have wildly uneven hops (secondary
+    nodes, twin jumps); even spacing conditions the bending problem."""
+    points = np.asarray(points, np.float64)
+    seg = np.linalg.norm(np.diff(points, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    if s[-1] <= 0:
+        return np.repeat(points[:1], m, axis=0)
+    si = np.linspace(0.0, s[-1], m)
+    return np.stack([np.interp(si, s, points[:, d])
+                     for d in range(points.shape[1])], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "quad", "lr"))
+def _bend_jit(P, rs, slo, lr, r_max, iters: int, quad: int):
+    free = jnp.ones((P.shape[0], 1), P.dtype).at[0].set(0.0).at[-1].set(0.0)
+
+    def ttime(P):
+        A, B = P[:-1], P[1:]
+        ts = jnp.linspace(0.5 / quad, 1.0 - 0.5 / quad, quad)
+        pts = A[:, None, :] + (B - A)[:, None, :] * ts[None, :, None]
+        r = jnp.sqrt(jnp.sum(pts * pts, axis=-1))
+        s_q = jnp.interp(r, rs, slo)
+        L = jnp.sqrt(jnp.sum((B - A) ** 2, axis=-1))
+        return jnp.sum(L * jnp.mean(s_q, axis=1))
+
+    opt = optax.adam(lr)
+
+    def step(carry, _):
+        P, state = carry
+        g = jax.grad(ttime)(P)
+        upd, state = opt.update(g * free, state)
+        P = P + upd * free
+        # project back inside the Earth (bent vertices must not surface)
+        r = jnp.sqrt(jnp.sum(P * P, axis=-1, keepdims=True))
+        P = jnp.where(r > r_max, P * (r_max / r), P)
+        return (P, state), None
+
+    (P, _), _ = jax.lax.scan(step, (P, opt.init(P)), None, length=iters)
+    return P, ttime(P)
+
+
+def refine_path(points, profile_r, profile_v, iters: int = 800,
+                lr: float = 3.0, quad: int = 8, m: int = 0,
+                r_max: float = R):
+    """Bend one SPM path to the continuous Fermat minimum.
+
+    points: (k, d) cartesian polyline (d = 2 annulus / 3 wedge),
+    receiver..source order as returned by `recontruct_path` indexing.
+    profile_r/profile_v: the radial velocity table (ascending radii).
+    m > 0 resamples to m uniform-arc-length vertices first (default
+    keeps ~2x the input vertex count, capped at 256).
+
+    Returns (refined_points, refined_time) - time in seconds under the
+    same slowness model SPM used, so refined_time <= the SPM edge-sum
+    up to quadrature error."""
+    pts = np.asarray(points, np.float64)
+    if pts.shape[0] < 3:
+        t = _polyline_time(pts, profile_r, profile_v, quad)
+        return pts, float(t)
+    if m <= 0:
+        m = int(min(256, max(32, 2 * pts.shape[0])))
+    pts = resample_path(pts, m)
+    rs = jnp.asarray(np.asarray(profile_r, np.float64))
+    slo = jnp.asarray(1.0 / np.maximum(np.asarray(profile_v, np.float64),
+                                       1e-12))
+    P, t = _bend_jit(jnp.asarray(pts), rs, slo, float(lr),
+                     jnp.asarray(float(r_max)), iters, quad)
+    return np.asarray(P), float(t)
+
+
+def _polyline_time(pts, profile_r, profile_v, quad: int = 8) -> float:
+    """Continuous-quadrature travel time of a fixed polyline."""
+    pts = np.asarray(pts, np.float64)
+    if pts.shape[0] < 2:
+        return 0.0
+    A, B = pts[:-1], pts[1:]
+    ts = np.linspace(0.5 / quad, 1.0 - 0.5 / quad, quad)
+    q = A[:, None, :] + (B - A)[:, None, :] * ts[None, :, None]
+    r = np.sqrt(np.sum(q * q, axis=-1))
+    slo = np.interp(r, profile_r, 1.0 / np.maximum(profile_v, 1e-12))
+    L = np.linalg.norm(B - A, axis=-1)
+    return float(np.sum(L * slo.mean(axis=1)))
+
+
+def refine_paths_batch(paths, profile_r, profile_v, m: int = 128,
+                       iters: int = 800, lr: float = 3.0, quad: int = 8,
+                       r_max: float = R):
+    """Refine a batch of paths in ONE device dispatch (vmap over the
+    resampled (n_paths, m, d) stack).  Returns (points, times)."""
+    stacked = np.stack([resample_path(np.asarray(p, np.float64), m)
+                        for p in paths])
+    rs = jnp.asarray(np.asarray(profile_r, np.float64))
+    slo = jnp.asarray(1.0 / np.maximum(np.asarray(profile_v, np.float64),
+                                       1e-12))
+    fn = jax.vmap(lambda P: _bend_jit(P, rs, slo, float(lr),
+                                      jnp.asarray(float(r_max)),
+                                      iters, quad))
+    P, t = fn(jnp.asarray(stacked))
+    return np.asarray(P), np.asarray(t)

@@ -1,0 +1,77 @@
+"""Bending refinement: refined times must beat the SPM polyline, land
+within ~1 s of independent ray theory at the snapped receiver angles
+(where SPM itself is +17 to +25 s off on this crude grid), keep
+endpoints pinned and vertices inside the Earth, and batch == single."""
+import numpy as np
+import pytest
+
+import raytracer_tpu as rt
+from raytracer_tpu.config import R, SolverConfig
+from raytracer_tpu.models.raytheory import ak135_first_arrivals
+from raytracer_tpu.solvers.refine import _polyline_time
+
+F64 = SolverConfig(dtype="float64")
+
+
+@pytest.fixture(scope="module")
+def fan(tiny_annulus, tiny_velocity):
+    gr, A, halo = tiny_annulus
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    D = rt.dijkstra(A, halo, src, gr, tiny_velocity, F64)
+    prof = rt.velocity_profile("ak135")
+    out = []
+    for deg in (40.0, 60.0, 90.0):
+        rec = rt.closest_point(gr, np.deg2rad(deg), R, system="polar")
+        path = rt.recontruct_path(D.prev, src, rec)
+        pts = np.stack([gr.x[path], gr.z[path]], axis=1)
+        snapped = float(np.rad2deg(gr.theta[rec]))
+        out.append((pts, snapped, float(D.dist[rec])))
+    return gr, prof, out
+
+
+def test_refined_beats_spm_and_matches_ray_theory(fan):
+    _, prof, rays = fan
+    for pts, snapped, t_spm in rays:
+        P, t_ref = rt.refine_path(pts, prof.r, prof.Vp)
+        anchor = float(ak135_first_arrivals([snapped])[0])
+        # bending strictly improves on the polyline functional
+        assert t_ref < _polyline_time(pts, prof.r, prof.Vp)
+        # and lands within ~1 s of independent ray theory where SPM
+        # was 17-25 s off on this 16x6 grid
+        assert abs(t_ref - anchor) < 1.0, (snapped, t_ref, anchor, t_spm)
+        assert t_spm - anchor > 5.0   # the bias it cured was real
+
+
+def test_endpoints_pinned_and_inside_earth(fan):
+    _, prof, rays = fan
+    pts, _, _ = rays[1]
+    P, _ = rt.refine_path(pts, prof.r, prof.Vp)
+    np.testing.assert_allclose(P[0], pts[0], atol=1e-12)
+    np.testing.assert_allclose(P[-1], pts[-1], atol=1e-12)
+    r = np.linalg.norm(P, axis=1)
+    assert np.all(r <= R + 1e-9)
+
+
+def test_batch_matches_single(fan):
+    _, prof, rays = fan
+    paths = [pts for pts, _, _ in rays]
+    Pb, tb = rt.refine_paths_batch(paths, prof.r, prof.Vp, m=64,
+                                   iters=300)
+    for i, pts in enumerate(paths):
+        P1, t1 = rt.refine_path(pts, prof.r, prof.Vp, m=64, iters=300)
+        np.testing.assert_allclose(tb[i], t1, rtol=1e-10)
+        np.testing.assert_allclose(Pb[i], P1, rtol=1e-8, atol=1e-8)
+
+
+def test_resample_preserves_endpoints_and_length(fan):
+    _, _, rays = fan
+    pts, _, _ = rays[0]
+    q = rt.resample_path(pts, 50)
+    assert q.shape == (50, 2)
+    np.testing.assert_allclose(q[0], pts[0], atol=1e-12)
+    np.testing.assert_allclose(q[-1], pts[-1], atol=1e-12)
+    # arc length is preserved by linear resampling (never increases)
+    def alen(p):
+        return np.sum(np.linalg.norm(np.diff(p, axis=0), axis=1))
+    assert alen(q) <= alen(pts) + 1e-9
+    assert alen(q) > 0.95 * alen(pts)
