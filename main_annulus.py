@@ -39,6 +39,10 @@ def main():
                              "pallas", "fused", "ell"])
     ap.add_argument("--out-prefix", default="annulus_run")
     ap.add_argument("--plot", action="store_true")
+    ap.add_argument("--refine", action="store_true",
+                    help="bend the receiver-fan paths to the continuous "
+                         "Fermat minimum (solvers/refine.py) and write "
+                         "<prefix>_travel_times_refined.csv")
     ap.add_argument("--cache-dir", default=None,
                     help="disk cache for built grids and packed stencils "
                          "(e.g. .cache, shared with bench.py)")
@@ -92,9 +96,21 @@ def main():
         if args.plot:
             rt.plot_paths(gr, paths, source, receivers, fname=f"{args.out_prefix}_ray_paths.png")
 
+    if args.refine:
+        with timer.section("bending refinement"):
+            pts = [np.stack([gr.x[p], gr.z[p]], axis=1) for p in paths]
+            _, t_ref = rt.refine_paths_batch(pts, prof.r,
+                                             getattr(prof, args.wave))
+            np.savetxt(f"{args.out_prefix}_travel_times_refined.csv",
+                       np.stack([degs, t_ref], axis=1), delimiter=",",
+                       header="deg,refined_s", comments="")
+
     print(timer.report())
     print(f"travel time at  60 deg: {tt[np.argmin(np.abs(degs - 60.0))]:.2f} s")
     print(f"travel time at 150 deg: {tt[np.argmin(np.abs(degs - 150.0))]:.2f} s")
+    if args.refine:
+        i60 = np.argmin(np.abs(degs - 60.0))
+        print(f"refined     at  60 deg: {t_ref[i60]:.2f} s")
 
 
 if __name__ == "__main__":

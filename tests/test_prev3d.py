@@ -68,6 +68,36 @@ def test_finite_difference_3d(wedge):
     np.testing.assert_allclose(dt, eps * g[k], rtol=1e-4)
 
 
+def test_refine_3d_matches_ray_theory(wedge):
+    """Bending refinement generalises to 3-D unchanged: on the
+    spherically-symmetric model the 1-D anchor applies at the
+    great-circle angle, and the bent wedge path lands within ~1 s where
+    SPM is tens of seconds off on this coarse grid."""
+    from raytracer_tpu.models.raytheory import ak135_first_arrivals
+
+    g3, U3, packed, srcs, dist, prevs = wedge
+    n0, n1, n2 = g3.nnods
+
+    def nid(i, j, k):
+        return (k * n1 + j) * n0 + i
+
+    src = nid(1, 1, n2 - 1)
+    rec = nid(10, 10, n2 - 1)
+    d1, _ = solve3d(g3, U3, [src], F64, _packed=packed)
+    prev = recover_prev3d(g3, U3, d1, [src], F64, _packed=packed)[0]
+    path = rt.recontruct_path(prev, src, rec)
+    pts = np.stack([g3.x[path], g3.y[path], g3.z[path]], axis=1)
+    prof = rt.velocity_profile("ak135")
+    _, t_ref = rt.refine_path(pts, prof.r, prof.Vp)
+    a = pts[0] / np.linalg.norm(pts[0])
+    b = pts[-1] / np.linalg.norm(pts[-1])
+    delta = float(np.rad2deg(np.arccos(np.clip(a @ b, -1.0, 1.0))))
+    anchor = float(ak135_first_arrivals([delta])[0])
+    t_spm = float(d1[0][rec])
+    assert t_spm - anchor > 5.0          # the bias being cured is real
+    assert abs(t_ref - anchor) < 1.0, (t_ref, anchor, t_spm)
+
+
 def test_device_sensitivity_matrix_3d(wedge):
     g3, U3, _, srcs, dist, prevs = wedge
     n = g3.nnods_total
