@@ -324,6 +324,21 @@ class AnnulusSolver:
             prev = np.arange(len(dist))
         return BellmanFordMoore(prev=prev, dist=dist)
 
+    def sensitivity_matrix(self, D: BellmanFordMoore, source: int,
+                           receivers: Sequence[int], max_len: int = 0):
+        """(n_rec, n) tomography kernels dt/dU for this solver's grid,
+        velocity and halo (solvers/sensitivity.py), from a
+        `solve(source)` result that carries prev.  max_len bounds the
+        device backtrace depth (0 = a safe grid-derived default)."""
+        from .sensitivity import sensitivity_matrix
+
+        if max_len <= 0:
+            nt = int(getattr(self.gr, "ntheta", 0) or 0)
+            nr = int(getattr(self.gr, "nr", 0) or 0)
+            max_len = 4 * (nt + nr) if (nt and nr) else 2048
+        return sensitivity_matrix(self.gr, self.U, D.prev, source,
+                                  receivers, max_len, self.halo)
+
     def travel_time_table(self, sources: Sequence[int], receivers: Sequence[int],
                           batch: int = 8) -> np.ndarray:
         """(n_sources, n_receivers) first-arrival table (no predecessors).

@@ -121,3 +121,6 @@ def test_annulus_solver_integration(tiny_annulus, tiny_velocity):
     g = rt.path_sensitivity(gr, tiny_velocity, path, halo)
     np.testing.assert_allclose(np.dot(tiny_velocity, g), -D.dist[rec],
                                rtol=1e-6)
+    # the solver's own convenience method produces the same row
+    G = np.asarray(solver.sensitivity_matrix(D, source, [rec]))
+    np.testing.assert_allclose(G[0], g, rtol=1e-12, atol=1e-18)
