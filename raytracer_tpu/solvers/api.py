@@ -339,6 +339,41 @@ class AnnulusSolver:
         return sensitivity_matrix(self.gr, self.U, D.prev, source,
                                   receivers, max_len, self.halo)
 
+    def refined_travel_times(self, source: int,
+                             receivers: Sequence[int],
+                             D: BellmanFordMoore = None,
+                             profile=None,
+                             m: int = 128, iters: int = 800,
+                             lr: float = 3.0) -> np.ndarray:
+        """(n_rec,) bending-refined first arrivals (solvers/refine.py):
+        solve (or reuse D with prev), backtrace each receiver, bend the
+        fan in one vmapped dispatch.
+
+        profile: (radii, velocities) radial table for the continuous
+        functional - pass the source model (e.g. the AK135 1-km table)
+        for the full accuracy of ACCURACY.md 2e.  Default None uses the
+        solver's own sampled (r, U): on coarse grids that is a visibly
+        coarser velocity model, and the refined time is the Fermat
+        limit of THAT model (still strictly below the SPM time)."""
+        from .path import recontruct_path
+        from .refine import refine_paths_batch
+
+        if D is None:
+            D = self.solve(source, want_prev=True)
+        if profile is not None:
+            rs, vs = (np.asarray(a, np.float64) for a in profile)
+        else:
+            order = np.argsort(np.asarray(self.gr.r), kind="stable")
+            rs = np.asarray(self.gr.r)[order]
+            vs = self.U[order]
+            if vs.ndim == 2:   # dual velocities: bend on the mean column
+                vs = vs.mean(axis=1)
+        paths = [recontruct_path(D.prev, source, r) for r in receivers]
+        pts = [np.stack([self.gr.x[p], self.gr.z[p]], axis=1)
+               for p in paths]
+        _, t = refine_paths_batch(pts, rs, vs, m=m, iters=iters, lr=lr)
+        return np.asarray(t)
+
     def travel_time_table(self, sources: Sequence[int], receivers: Sequence[int],
                           batch: int = 8) -> np.ndarray:
         """(n_sources, n_receivers) first-arrival table (no predecessors).

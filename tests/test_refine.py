@@ -63,6 +63,32 @@ def test_batch_matches_single(fan):
         np.testing.assert_allclose(Pb[i], P1, rtol=1e-8, atol=1e-8)
 
 
+def test_solver_refined_travel_times(tiny_annulus, tiny_velocity, fan):
+    """One-call fan refinement through AnnulusSolver matches the manual
+    backtrace+bend pipeline and beats the SPM bias at the anchors."""
+    gr, A, halo = tiny_annulus
+    _, prof, rays = fan
+    solver = rt.AnnulusSolver(gr, A, halo, tiny_velocity, F64,
+                              method="circulant")
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    recs = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+            for d in (40.0, 60.0, 90.0)]
+    D = solver.solve(src)
+    # with the source profile: full anchor accuracy
+    t = solver.refined_travel_times(src, recs, D=D,
+                                    profile=(prof.r, prof.Vp),
+                                    m=64, iters=800)
+    assert t.shape == (3,)
+    # with the solver's own sampled table: the Fermat limit of the
+    # coarser model - still strictly below SPM and closer to the anchor
+    t_own = solver.refined_travel_times(src, recs, D=D, m=64, iters=800)
+    for i, (pts, snapped, t_spm) in enumerate(rays):
+        anchor = float(ak135_first_arrivals([snapped])[0])
+        assert abs(t[i] - anchor) < 2.0, (snapped, t[i], anchor)
+        assert t_own[i] < t_spm
+        assert abs(t_own[i] - anchor) < abs(t_spm - anchor)
+
+
 def test_resample_preserves_endpoints_and_length(fan):
     _, _, rays = fan
     pts, _, _ = rays[0]
