@@ -1,0 +1,203 @@
+"""Earthquake hypocenter location from first-arrival picks.
+
+The reference's pipeline ends at forward travel times and ray paths
+(main_annulus.jl:34-77); locating the *source* of observed arrivals is
+the canonical inverse use of those tables and is left to its users.
+Delivered natively here, in three steps:
+
+  1. **Station fields by reciprocity.**  The edge weight
+     t = 2L/(U_i+U_j) (ops/weights.py, src/SSSP/bfm.jl:137-146) is
+     symmetric in (i, j) — for the dual (below, above) convention the
+     head/tail pick flips with the direction so the sum U_head+U_tail
+     is unchanged — hence one SSSP per *station* gives t(x -> station_k)
+     for every candidate node x: K solves total, not one per candidate.
+  2. **Grid search with the origin time eliminated.**  For picks
+     t_k = t0 + T_k(x) the weighted-LSQ origin time at a node is the
+     weighted mean residual, so the node misfit is the demeaned
+     residual variance — evaluated for ALL nodes in one (K, n) device
+     pass (two matmul-shaped reductions, MXU-friendly).
+  3. **Sub-grid Gauss-Newton refinement.**  By the eikonal equation
+     grad_x T_k = s * u_k with u_k the unit ray direction at x; u_k is
+     read off the best node's incoming graph edge in field k (the
+     fixpoint predecessor) and s is that segment's harmonic slowness
+     w/L.  One linear least-squares solve then yields (dx, dz, dt0),
+     clamped to the local node spacing — positions are no longer
+     quantised to the mesh.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import R
+
+
+@dataclass
+class Location:
+    """Result of `locate`: grid-search node plus the refined solution."""
+    node: int                 # best grid node
+    x: float                  # refined cartesian position (km)
+    z: float
+    theta: float              # refined polar coordinates
+    r: float
+    t0: float                 # origin time (s)
+    rms: float                # weighted rms residual at the solution (s)
+    node_rms: float           # rms at the best node (before refinement)
+    delta: np.ndarray         # applied sub-grid shift (2,) km
+
+
+def station_fields(solver, stations: Sequence[int]) -> np.ndarray:
+    """(K, n) travel-time fields solved FROM each station; by weight
+    symmetry these are x->station times for every node x.  Amortise
+    across events by computing once and passing to `locate(fields=...)`."""
+    n = int(solver.gr.nnods)
+    return np.asarray(
+        solver.travel_time_table([int(s) for s in stations], np.arange(n)),
+        dtype=np.float64,
+    )
+
+
+@jax.jit
+def _grid_search_jit(T, t_obs, w2):
+    """Best node under weighted LSQ with t0 eliminated analytically.
+    T: (K, n) station fields; t_obs: (K,); w2: (K,) squared weights."""
+    resid = t_obs[:, None] - T                      # (K, n)
+    t0 = (w2 @ resid) / jnp.sum(w2)                 # (n,) per-node origin time
+    m = jnp.sum(w2[:, None] * (resid - t0[None, :]) ** 2, axis=0)
+    # nodes unreachable from any station (e.g. S in the liquid core)
+    m = jnp.where(jnp.all(jnp.isfinite(T), axis=0), m, jnp.inf)
+    j = jnp.argmin(m)
+    return j, t0[j], m[j]
+
+
+def _twin_partners_of(halo, node: int) -> list:
+    if halo is None:
+        return []
+    halo = np.asarray(halo)
+    if halo.size == 0:
+        return []
+    out = set(halo[halo[:, 0] == node, 1].tolist())
+    out |= set(halo[halo[:, 1] == node, 0].tolist())
+    return sorted(out)
+
+
+def _edge_weight_in(gr, U: np.ndarray, tail: int, heads: np.ndarray,
+                    L: np.ndarray) -> np.ndarray:
+    """Weights of edges tail <- heads, matching ops/weights.py exactly
+    (scalar harmonic mean, or the dual head/tail radius pick of
+    src/SSSP/bfm.jl:134-146)."""
+    U = np.asarray(U, np.float64)
+    if U.ndim == 1:
+        usum = U[tail] + U[heads]
+    else:
+        r = np.asarray(gr.r)
+        head_above = r[tail] > r[heads]
+        U_head = np.where(head_above, U[heads, 1], U[heads, 0])
+        U_tail = np.where(head_above, U[tail, 0], U[tail, 1])
+        usum = U_head + U_tail
+    return np.where(usum > 0, 2.0 * L / np.where(usum > 0, usum, 1.0),
+                    np.inf)
+
+
+def _ray_gradients(gr, A, halo, U, T: np.ndarray, node: int):
+    """(K, 2) gradients grad_x T_k at `node` and the local spacing.
+
+    The fixpoint predecessor of `node` in field k — the neighbour i
+    minimising T_k[i] + w(node <- i) — fixes the incoming ray; the
+    gradient is the segment slowness (w/L) times the unit vector away
+    from it.  Zero-length twin hops carry no direction, so the
+    candidate set is the node's neighbours PLUS its twins' neighbours
+    (the twin sits at the same point up to the -0.05 km offset)."""
+    A = A.tocsr()
+    twins = _twin_partners_of(halo, node)
+    cands: set = set()
+    for j in (node, *twins):
+        cands |= set(A.indices[A.indptr[j]:A.indptr[j + 1]].tolist())
+    cands.discard(node)
+    cands -= set(twins)
+    cand = np.asarray(sorted(cands), dtype=np.int64)
+    xs = np.stack([np.asarray(gr.x), np.asarray(gr.z)], axis=1)
+    p = xs[node]
+    L = np.linalg.norm(xs[cand] - p, axis=1)
+    keep = L > 1e-6
+    cand, L = cand[keep], L[keep]
+    if cand.size == 0:
+        raise ValueError(f"node {node} has no finite-length neighbours")
+    w = _edge_weight_in(gr, U, node, cand, L)
+    cost = T[:, cand] + w[None, :]                   # (K, C)
+    kbest = np.argmin(cost, axis=1)
+    u = (p[None, :] - xs[cand[kbest]]) / L[kbest][:, None]
+    slo = w[kbest] / L[kbest]                        # harmonic slowness
+    return u * slo[:, None], float(np.median(L))
+
+
+def locate(solver, stations: Sequence[int], t_obs: Sequence[float],
+           sigma: Optional[Sequence[float]] = None, refine: bool = True,
+           fields: Optional[np.ndarray] = None) -> Location:
+    """Locate one event from arrival picks `t_obs` at `stations`
+    (node ids).  sigma: per-pick uncertainties (s) for weighting.
+    fields: precomputed `station_fields(solver, stations)` to amortise
+    the K station solves across events."""
+    gr = solver.gr
+    t_obs = np.asarray(t_obs, np.float64)
+    K = len(stations)
+    if t_obs.shape != (K,):
+        raise ValueError(f"t_obs must have shape ({K},), got {t_obs.shape}")
+    w = (np.ones(K) if sigma is None
+         else 1.0 / np.asarray(sigma, np.float64))
+    if fields is None:
+        fields = station_fields(solver, stations)
+    T = np.asarray(fields, np.float64)
+
+    j, t0, m = _grid_search_jit(jnp.asarray(T), jnp.asarray(t_obs),
+                                jnp.asarray(w * w))
+    j, t0 = int(j), float(t0)
+    w2sum = float(np.sum(w * w))
+    node_rms = float(np.sqrt(max(float(m), 0.0) / w2sum))
+
+    x, z = float(np.asarray(gr.x)[j]), float(np.asarray(gr.z)[j])
+    delta = np.zeros(2)
+    rms = node_rms
+    if refine:
+        g, spacing = _ray_gradients(gr, solver.A, solver.halo, solver.U,
+                                    T, j)
+        # weighted LSQ for (dx, dz, dt0):  g . d + t0' = t_obs - T_j
+        design = np.concatenate([g, np.ones((K, 1))], axis=1) * w[:, None]
+        rhs = (t_obs - T[:, j]) * w
+        sol, *_ = np.linalg.lstsq(design, rhs, rcond=None)
+        delta, t0 = sol[:2], float(sol[2])
+        # the linearisation holds within a cell: clamp to the spacing
+        nrm = float(np.linalg.norm(delta))
+        if nrm > spacing:
+            delta = delta * (spacing / nrm)
+        res = rhs - design @ np.concatenate([delta, [t0]])
+        rms = float(np.sqrt(np.sum(res * res) / w2sum))
+        x, z = x + float(delta[0]), z + float(delta[1])
+        # refined hypocentres must stay inside the Earth
+        rr = float(np.hypot(x, z))
+        if rr > R:
+            x, z = x * (R / rr), z * (R / rr)
+    return Location(node=j, x=x, z=z,
+                    theta=float(np.arctan2(x, z) % (2 * np.pi)),
+                    r=float(np.hypot(x, z)), t0=t0, rms=rms,
+                    node_rms=node_rms, delta=np.asarray(delta))
+
+
+def locate_many(solver, stations: Sequence[int], T_obs: np.ndarray,
+                sigma: Optional[Sequence[float]] = None,
+                refine: bool = True,
+                fields: Optional[np.ndarray] = None) -> list:
+    """Locate a catalogue: T_obs is (n_events, K) picks.  The K station
+    solves run once; each event costs one device grid search plus a
+    3-unknown host least squares."""
+    if fields is None:
+        fields = station_fields(solver, stations)
+    return [locate(solver, stations, row, sigma=sigma, refine=refine,
+                   fields=fields)
+            for row in np.asarray(T_obs, np.float64)]

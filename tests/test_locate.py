@@ -1,0 +1,107 @@
+"""Earthquake location (solvers/locate.py): reciprocity of the station
+fields, exact recovery of on-grid events, robustness to pick noise, and
+sub-grid Gauss-Newton refinement against a finer forward grid."""
+import numpy as np
+import pytest
+
+import raytracer_tpu as rt
+from raytracer_tpu.config import SolverConfig
+from raytracer_tpu.solvers.locate import (Location, locate, locate_many,
+                                          station_fields)
+
+STATION_DEGS = [0.0, 45.0, 90.0, 135.0, 180.0, 225.0, 315.0]
+
+
+@pytest.fixture(scope="module")
+def coarse():
+    gr, A, halo = rt.init_annulus(32, 8, spacing=250.0)
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = rt.interpolate_velocity(gr.r, interp)
+    solver = rt.AnnulusSolver(gr, A, halo, U, SolverConfig(dtype="float64"))
+    stations = [rt.closest_point(gr, np.deg2rad(d), rt.R, system="polar")
+                for d in STATION_DEGS]
+    fields = station_fields(solver, stations)
+    return gr, solver, stations, fields
+
+
+def _xy(gr, node):
+    return np.array([np.asarray(gr.x)[node], np.asarray(gr.z)[node]])
+
+
+def test_station_field_reciprocity(coarse):
+    """t(source -> station) must equal the station field at the source:
+    the weights are symmetric, so solving from the station is solving
+    to it."""
+    gr, solver, stations, fields = coarse
+    src = rt.closest_point(gr, np.deg2rad(70.0), rt.R - 900.0,
+                           system="polar")
+    D = solver.solve(src, want_prev=False)
+    for k, s in enumerate(stations):
+        assert np.isclose(float(D.dist[s]), fields[k, src], atol=1e-6), (
+            k, float(D.dist[s]), fields[k, src])
+
+
+def test_on_grid_event_recovered_exactly(coarse):
+    gr, solver, stations, fields = coarse
+    true = rt.closest_point(gr, np.deg2rad(123.0), rt.R - 600.0,
+                            system="polar")
+    t_obs = fields[:, true] + 7.5
+    loc = locate(solver, stations, t_obs, refine=False, fields=fields)
+    assert np.linalg.norm(_xy(gr, loc.node) - _xy(gr, true)) < 1.0
+    assert abs(loc.t0 - 7.5) < 1e-6
+    assert loc.node_rms < 1e-8
+    # refinement must not move an exact solution
+    loc_r = locate(solver, stations, t_obs, refine=True, fields=fields)
+    assert np.linalg.norm([loc_r.x, loc_r.z] - _xy(gr, true)) < 5.0
+    assert loc_r.rms <= loc.node_rms + 1e-9
+
+
+def test_noisy_picks_stay_near_truth(coarse):
+    gr, solver, stations, fields = coarse
+    true = rt.closest_point(gr, np.deg2rad(200.0), rt.R - 1200.0,
+                            system="polar")
+    rng = np.random.default_rng(7)
+    t_obs = fields[:, true] + 3.0 + rng.normal(0.0, 0.3, len(stations))
+    loc = locate(solver, stations, t_obs, sigma=[0.3] * len(stations),
+                 fields=fields)
+    err = np.linalg.norm(np.array([loc.x, loc.z]) - _xy(gr, true))
+    # 0.3 s picks x ~10 km/s velocities -> a few node spacings at worst
+    assert err < 500.0, err
+    assert abs(loc.t0 - 3.0) < 2.0, loc.t0
+
+
+def test_subgrid_refinement_beats_grid_search(coarse):
+    """Observed times from a 2x finer forward grid, event OFF the coarse
+    lattice: the Gauss-Newton step must land closer to the truth than
+    the best coarse node."""
+    gr, solver, stations, fields = coarse
+    grf, Af, halof = rt.init_annulus(64, 16, spacing=120.0)
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    Uf = rt.interpolate_velocity(grf.r, interp)
+    fine = rt.AnnulusSolver(grf, Af, halof, Uf,
+                            SolverConfig(dtype="float64"))
+    st_fine = [rt.closest_point(grf, np.deg2rad(d), rt.R, system="polar")
+               for d in STATION_DEGS]
+    true = rt.closest_point(grf, np.deg2rad(73.1), rt.R - 400.0,
+                            system="polar")
+    t_true = _xy(grf, true)
+    t_obs = station_fields(fine, st_fine)[:, true]
+
+    loc = locate(solver, stations, t_obs, refine=True)
+    node_err = np.linalg.norm(_xy(gr, loc.node) - t_true)
+    ref_err = np.linalg.norm(np.array([loc.x, loc.z]) - t_true)
+    assert ref_err < node_err, (ref_err, node_err)
+    assert ref_err < 250.0, ref_err      # inside one coarse spacing
+
+
+def test_locate_many_catalogue(coarse):
+    gr, solver, stations, fields = coarse
+    nodes = [rt.closest_point(gr, np.deg2rad(d), rt.R - 800.0,
+                              system="polar") for d in (30.0, 260.0)]
+    T_obs = np.stack([fields[:, n] + 1.0 for n in nodes])
+    locs = locate_many(solver, stations, T_obs, fields=fields)
+    assert len(locs) == 2 and all(isinstance(l, Location) for l in locs)
+    for l, n in zip(locs, nodes):
+        assert np.linalg.norm(_xy(gr, l.node) - _xy(gr, n)) < 1.0
