@@ -26,7 +26,7 @@ from raytracer_tpu.config import SolverConfig
 
 
 def run(ntheta=64, nr=16, spacing=120.0, noise=0.2, n_events=8,
-        verbose=True, seed=11):
+        verbose=True, seed=11, bend=False):
     cfg = SolverConfig(dtype="float64")
     station_degs = np.arange(0.0, 360.0, 30.0)
 
@@ -61,7 +61,8 @@ def run(ntheta=64, nr=16, spacing=120.0, noise=0.2, n_events=8,
 
     locs = rt.locate_many(solver, stations, T_obs,
                           sigma=[max(noise, 1e-3)] * len(stations),
-                          fields=fields)
+                          fields=fields, bend=bend,
+                          profile=(prof.r, prof.Vp) if bend else None)
     errs_node, errs_ref = [], []
     for loc, e in zip(locs, events):
         truth = np.array([grf.x[e], grf.z[e]])
@@ -88,5 +89,9 @@ if __name__ == "__main__":
     ap.add_argument("--spacing", type=float, default=120.0)
     ap.add_argument("--noise", type=float, default=0.2)
     ap.add_argument("--events", type=int, default=8)
+    ap.add_argument("--bend", action="store_true",
+                    help="bend-refine the model times at the best node "
+                         "(removes the SPM bias from the residuals)")
     args = ap.parse_args()
-    run(args.ntheta, args.nr, args.spacing, args.noise, args.events)
+    run(args.ntheta, args.nr, args.spacing, args.noise, args.events,
+        bend=args.bend)

@@ -137,13 +137,91 @@ def _ray_gradients(gr, A, halo, U, T: np.ndarray, node: int):
     return u * slo[:, None], float(np.median(L))
 
 
+def _station_prev(solver, field: np.ndarray, station: int) -> np.ndarray:
+    """Predecessor tree of one station field (rooted at the station),
+    via the device recovery on circulant meshes and the host recovery
+    elsewhere — the exact machinery `AnnulusSolver.solve` uses."""
+    if solver.circulant is not None:
+        from ..ops.circulant import recover_prev_device
+
+        prev = recover_prev_device(solver.circulant, field,
+                                   _dcache=solver._device_cache)
+    else:
+        from ..ops.circulant import PrevRecovery
+
+        if getattr(solver, "_prev_rec", None) is None:
+            solver._prev_rec = PrevRecovery(solver.gr, solver.A,
+                                            solver.halo, solver.U)
+        prev = solver._prev_rec(np.asarray(field, np.float64))
+    prev[station] = station
+    return prev
+
+
+def _bent_times_and_dirs(solver, stations, T: np.ndarray, node: int,
+                         profile):
+    """Bend the node->station SPM paths to the continuous Fermat
+    minimum (solvers/refine.py, one vmapped dispatch for the whole
+    station set).  Returns the K bias-free model times and the K unit
+    ray directions at the node read from the bent polylines (their last
+    segment, sharper than the graph edge)."""
+    from .path import recontruct_path
+    from .refine import refine_paths_batch
+
+    gr = solver.gr
+    if profile is not None:
+        rs, vs = (np.asarray(a, np.float64) for a in profile)
+    else:
+        order = np.argsort(np.asarray(gr.r), kind="stable")
+        rs = np.asarray(gr.r)[order]
+        vs = np.asarray(solver.U, np.float64)[order]
+        if vs.ndim == 2:
+            vs = vs.mean(axis=1)
+    x, z = np.asarray(gr.x), np.asarray(gr.z)
+    pts = []
+    for k, s in enumerate(stations):
+        prev = _station_prev(solver, T[k], int(s))
+        p = recontruct_path(prev, int(s), node)   # node .. station order
+        pts.append(np.stack([x[p], z[p]], axis=1))
+    bent, t = refine_paths_batch(pts, rs, vs)
+    t = np.asarray(t, np.float64)
+    # A valid bend lands BELOW the SPM edge-sum (same metric, more
+    # freedom).  Core-grazing diffracted paths violate this: resampled
+    # chords of the CMB-creeping arc dip into the low-velocity core and
+    # inflate the continuous functional.  Reject those stations and give
+    # them the SPM time minus the consensus bias of the accepted ones.
+    t_spm = T[:, node]
+    ok = t <= t_spm + 0.5
+    if ok.any() and not ok.all():
+        bias = float(np.median(t_spm[ok] - t[ok]))
+        t = np.where(ok, t, t_spm - bias)
+    elif not ok.any():
+        t = t_spm
+    # direction of arrival at the node: the bent path leaves the node
+    # toward the station, so grad T points the other way
+    u = bent[:, 0, :] - bent[:, 1, :]
+    u /= np.maximum(np.linalg.norm(u, axis=1, keepdims=True), 1e-12)
+    slo = 1.0 / np.maximum(np.interp(np.hypot(x[node], z[node]), rs, vs),
+                           1e-12)
+    return t, u * slo, ok
+
+
 def locate(solver, stations: Sequence[int], t_obs: Sequence[float],
            sigma: Optional[Sequence[float]] = None, refine: bool = True,
-           fields: Optional[np.ndarray] = None) -> Location:
+           fields: Optional[np.ndarray] = None, bend: bool = False,
+           profile=None) -> Location:
     """Locate one event from arrival picks `t_obs` at `stations`
     (node ids).  sigma: per-pick uncertainties (s) for weighting.
     fields: precomputed `station_fields(solver, stations)` to amortise
-    the K station solves across events."""
+    the K station solves across events.
+
+    bend=True replaces the best node's SPM model times with
+    bending-refined ones (solvers/refine.py) before the Gauss-Newton
+    step: the SPM discretisation bias (+seconds on coarse grids, with
+    station-dependent directional scatter) drops out of the residuals,
+    at the cost of K predecessor recoveries + one bending dispatch.
+    profile: (radii, velocities) table for the continuous functional
+    (pass the source model, e.g. the AK135 1-km table; default uses the
+    solver's sampled velocities)."""
     gr = solver.gr
     t_obs = np.asarray(t_obs, np.float64)
     K = len(stations)
@@ -167,9 +245,15 @@ def locate(solver, stations: Sequence[int], t_obs: Sequence[float],
     if refine:
         g, spacing = _ray_gradients(gr, solver.A, solver.halo, solver.U,
                                     T, j)
-        # weighted LSQ for (dx, dz, dt0):  g . d + t0' = t_obs - T_j
+        t_model = T[:, j]
+        if bend:
+            t_bent, g_bent, ok = _bent_times_and_dirs(solver, stations,
+                                                      T, j, profile)
+            t_model = t_bent
+            g = np.where(ok[:, None], g_bent, g)
+        # weighted LSQ for (dx, dz, dt0):  g . d + t0' = t_obs - t_model
         design = np.concatenate([g, np.ones((K, 1))], axis=1) * w[:, None]
-        rhs = (t_obs - T[:, j]) * w
+        rhs = (t_obs - t_model) * w
         sol, *_ = np.linalg.lstsq(design, rhs, rcond=None)
         delta, t0 = sol[:2], float(sol[2])
         # the linearisation holds within a cell: clamp to the spacing
@@ -192,12 +276,14 @@ def locate(solver, stations: Sequence[int], t_obs: Sequence[float],
 def locate_many(solver, stations: Sequence[int], T_obs: np.ndarray,
                 sigma: Optional[Sequence[float]] = None,
                 refine: bool = True,
-                fields: Optional[np.ndarray] = None) -> list:
+                fields: Optional[np.ndarray] = None, bend: bool = False,
+                profile=None) -> list:
     """Locate a catalogue: T_obs is (n_events, K) picks.  The K station
     solves run once; each event costs one device grid search plus a
-    3-unknown host least squares."""
+    3-unknown host least squares (plus, with bend=True, one bending
+    dispatch)."""
     if fields is None:
         fields = station_fields(solver, stations)
     return [locate(solver, stations, row, sigma=sigma, refine=refine,
-                   fields=fields)
+                   fields=fields, bend=bend, profile=profile)
             for row in np.asarray(T_obs, np.float64)]

@@ -67,17 +67,26 @@ def _bend_jit(P, rs, slo, lr, r_max, iters: int, quad: int):
     opt = optax.adam(lr)
 
     def step(carry, _):
-        P, state = carry
-        g = jax.grad(ttime)(P)
+        P, state, bestP, bestT = carry
+        t, g = jax.value_and_grad(ttime)(P)
+        # Adam is not monotone (it can and does diverge on long
+        # core-grazing paths): keep the best iterate seen, so the
+        # result is never worse than the input polyline
+        better = t < bestT
+        bestP = jnp.where(better, P, bestP)
+        bestT = jnp.minimum(t, bestT)
         upd, state = opt.update(g * free, state)
         P = P + upd * free
         # project back inside the Earth (bent vertices must not surface)
         r = jnp.sqrt(jnp.sum(P * P, axis=-1, keepdims=True))
         P = jnp.where(r > r_max, P * (r_max / r), P)
-        return (P, state), None
+        return (P, state, bestP, bestT), None
 
-    (P, _), _ = jax.lax.scan(step, (P, opt.init(P)), None, length=iters)
-    return P, ttime(P)
+    init = (P, opt.init(P), P, ttime(P))
+    (P, _, bestP, bestT), _ = jax.lax.scan(step, init, None, length=iters)
+    tF = ttime(P)
+    better = tF < bestT
+    return jnp.where(better, P, bestP), jnp.minimum(tF, bestT)
 
 
 def refine_path(points, profile_r, profile_v, iters: int = 800,

@@ -96,6 +96,37 @@ def test_subgrid_refinement_beats_grid_search(coarse):
     assert ref_err < 250.0, ref_err      # inside one coarse spacing
 
 
+def test_bend_mode_beats_plain_gauss_newton(coarse):
+    """bend=True replaces the node's SPM model times with bending-
+    refined ones: the coarse grid's directional bias drops out of the
+    residuals and the position error shrinks (mean over events)."""
+    gr, solver, stations, fields = coarse
+    grf, Af, halof = rt.init_annulus(64, 16, spacing=120.0)
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    fine = rt.AnnulusSolver(grf, Af, halof,
+                            rt.interpolate_velocity(grf.r, interp),
+                            SolverConfig(dtype="float64"))
+    st_fine = [rt.closest_point(grf, np.deg2rad(d), rt.R, system="polar")
+               for d in STATION_DEGS]
+    ffine = station_fields(fine, st_fine)
+    errs_gn, errs_bent = [], []
+    for deg, dep in [(73.1, 400.0), (141.7, 150.0), (222.3, 1000.0)]:
+        true = rt.closest_point(grf, np.deg2rad(deg), rt.R - dep,
+                                system="polar")
+        txy = _xy(grf, true)
+        t_obs = ffine[:, true]
+        l0 = locate(solver, stations, t_obs, fields=fields)
+        lb = locate(solver, stations, t_obs, fields=fields, bend=True,
+                    profile=(prof.r, prof.Vp))
+        errs_gn.append(np.linalg.norm(np.array([l0.x, l0.z]) - txy))
+        errs_bent.append(np.linalg.norm(np.array([lb.x, lb.z]) - txy))
+        # the bent residual rms must be small: the SPM bias is gone
+        assert lb.rms < 5.0, lb.rms
+    assert np.mean(errs_bent) < 0.8 * np.mean(errs_gn), (errs_bent,
+                                                         errs_gn)
+
+
 def test_locate_many_catalogue(coarse):
     gr, solver, stations, fields = coarse
     nodes = [rt.closest_point(gr, np.deg2rad(d), rt.R - 800.0,
