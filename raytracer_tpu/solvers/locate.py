@@ -251,17 +251,7 @@ def locate(solver, stations: Sequence[int], t_obs: Sequence[float],
                                                       T, j, profile)
             t_model = t_bent
             g = np.where(ok[:, None], g_bent, g)
-        # weighted LSQ for (dx, dz, dt0):  g . d + t0' = t_obs - t_model
-        design = np.concatenate([g, np.ones((K, 1))], axis=1) * w[:, None]
-        rhs = (t_obs - t_model) * w
-        sol, *_ = np.linalg.lstsq(design, rhs, rcond=None)
-        delta, t0 = sol[:2], float(sol[2])
-        # the linearisation holds within a cell: clamp to the spacing
-        nrm = float(np.linalg.norm(delta))
-        if nrm > spacing:
-            delta = delta * (spacing / nrm)
-        res = rhs - design @ np.concatenate([delta, [t0]])
-        rms = float(np.sqrt(np.sum(res * res) / w2sum))
+        delta, t0, rms = _gn_solve(g, t_model, t_obs, w, spacing)
         x, z = x + float(delta[0]), z + float(delta[1])
         # refined hypocentres must stay inside the Earth
         rr = float(np.hypot(x, z))
@@ -271,6 +261,122 @@ def locate(solver, stations: Sequence[int], t_obs: Sequence[float],
                     theta=float(np.arctan2(x, z) % (2 * np.pi)),
                     r=float(np.hypot(x, z)), t0=t0, rms=rms,
                     node_rms=node_rms, delta=np.asarray(delta))
+
+
+def _gn_solve(g: np.ndarray, t_model: np.ndarray, t_obs: np.ndarray,
+              w: np.ndarray, max_step: float):
+    """Weighted least squares for (delta, dt0) under the linear model
+    t_obs ~= t_model + g . delta + t0; the step is clamped to max_step
+    (the linearisation holds within a cell).  Returns
+    (delta, t0, weighted rms)."""
+    K, d = g.shape
+    design = np.concatenate([g, np.ones((K, 1))], axis=1) * w[:, None]
+    rhs = (t_obs - t_model) * w
+    sol, *_ = np.linalg.lstsq(design, rhs, rcond=None)
+    delta, t0 = sol[:d], float(sol[d])
+    nrm = float(np.linalg.norm(delta))
+    if nrm > max_step:
+        delta = delta * (max_step / nrm)
+    res = rhs - design @ np.concatenate([delta, [t0]])
+    rms = float(np.sqrt(np.sum(res * res) / np.sum(w * w)))
+    return delta, t0, rms
+
+
+@dataclass
+class Location3D:
+    """Result of `locate3d` on the spherical-wedge grid."""
+    node: int
+    x: float
+    y: float
+    z: float
+    r: float
+    t0: float
+    rms: float
+    node_rms: float
+    delta: np.ndarray         # (3,) km
+
+
+def station_fields3d(gr3, U: np.ndarray, stations: Sequence[int],
+                     config=None, **solve_kwargs) -> np.ndarray:
+    """(K, n) solve3d fields FROM each station — x->station times by
+    reciprocity, exactly like the 2-D `station_fields`."""
+    from ..config import DEFAULT_SOLVER_CONFIG
+    from .solve3d import solve3d
+
+    dist, _ = solve3d(gr3, U, [int(s) for s in stations],
+                      config or DEFAULT_SOLVER_CONFIG, **solve_kwargs)
+    return np.asarray(dist, np.float64)
+
+
+def _ray_gradients3d(gr3, U: np.ndarray, T: np.ndarray, node: int):
+    """(K, 3) eikonal gradients at `node` from the 26-point stencil's
+    fixpoint predecessors (the structured-grid analogue of
+    `_ray_gradients`; solve3d's SHIFTS neighbourhood)."""
+    from .solve3d import SHIFTS
+
+    n0, n1, n2 = gr3.nnods
+    i, j, k = node % n0, (node // n0) % n1, node // (n0 * n1)
+    flat = []
+    for dk, dj, di in SHIFTS:
+        ii, jj, kk = i + di, j + dj, k + dk
+        if 0 <= ii < n0 and 0 <= jj < n1 and 0 <= kk < n2:
+            flat.append(ii + jj * n0 + kk * n0 * n1)
+    cand = np.asarray(flat, dtype=np.int64)
+    xs = np.stack([np.asarray(gr3.x), np.asarray(gr3.y),
+                   np.asarray(gr3.z)], axis=1)
+    p = xs[node]
+    L = np.linalg.norm(xs[cand] - p, axis=1)
+    U = np.asarray(U, np.float64)
+    usum = U[node] + U[cand]
+    w = np.where(usum > 0, 2.0 * L / np.where(usum > 0, usum, 1.0),
+                 np.inf)
+    cost = T[:, cand] + w[None, :]
+    kbest = np.argmin(cost, axis=1)
+    u = (p[None, :] - xs[cand[kbest]]) / L[kbest][:, None]
+    slo = w[kbest] / L[kbest]
+    return u * slo[:, None], float(np.median(L))
+
+
+def locate3d(gr3, U: np.ndarray, stations: Sequence[int],
+             t_obs: Sequence[float],
+             sigma: Optional[Sequence[float]] = None, refine: bool = True,
+             fields: Optional[np.ndarray] = None,
+             config=None, **solve_kwargs) -> Location3D:
+    """Locate one event on the 3-D spherical-wedge grid: the same
+    reciprocity grid search + eikonal Gauss-Newton as `locate`, with the
+    26-point structured stencil supplying the ray directions.  fields:
+    precomputed `station_fields3d(...)` to amortise across events."""
+    t_obs = np.asarray(t_obs, np.float64)
+    K = len(stations)
+    if t_obs.shape != (K,):
+        raise ValueError(f"t_obs must have shape ({K},), got {t_obs.shape}")
+    w = (np.ones(K) if sigma is None
+         else 1.0 / np.asarray(sigma, np.float64))
+    if fields is None:
+        fields = station_fields3d(gr3, U, stations, config, **solve_kwargs)
+    T = np.asarray(fields, np.float64)
+
+    j, t0, m = _grid_search_jit(jnp.asarray(T), jnp.asarray(t_obs),
+                                jnp.asarray(w * w))
+    j, t0 = int(j), float(t0)
+    node_rms = float(np.sqrt(max(float(m), 0.0) / float(np.sum(w * w))))
+
+    pos = np.array([np.asarray(gr3.x)[j], np.asarray(gr3.y)[j],
+                    np.asarray(gr3.z)[j]])
+    delta = np.zeros(3)
+    rms = node_rms
+    if refine:
+        g, spacing = _ray_gradients3d(gr3, U, T, j)
+        delta, t0, rms = _gn_solve(g, T[:, j], t_obs, w, spacing)
+        pos = pos + delta
+        rr = float(np.linalg.norm(pos))
+        r_max = float(np.asarray(gr3.r_ax).max())
+        if rr > r_max:
+            pos = pos * (r_max / rr)
+    return Location3D(node=j, x=float(pos[0]), y=float(pos[1]),
+                      z=float(pos[2]), r=float(np.linalg.norm(pos)),
+                      t0=t0, rms=rms, node_rms=node_rms,
+                      delta=np.asarray(delta))
 
 
 def locate_many(solver, stations: Sequence[int], T_obs: np.ndarray,

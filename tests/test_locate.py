@@ -127,6 +127,81 @@ def test_bend_mode_beats_plain_gauss_newton(coarse):
                                                          errs_gn)
 
 
+def test_locate3d_wedge():
+    """3-D wedge: reciprocity of the station fields, exact on-grid
+    recovery, and a stable Gauss-Newton step on exact data."""
+    import raytracer_tpu.solvers.solve3d as s3
+    from raytracer_tpu.solvers.locate import (Location3D, locate3d,
+                                              station_fields3d)
+
+    g = rt.grid3d((0.0, 0.0, rt.R - 1500.0),
+                  (np.deg2rad(40.0), np.deg2rad(40.0), rt.R),
+                  (20, 16, 12))
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = rt.interpolate_velocity(g.r, interp)
+    cfg = SolverConfig(dtype="float64")
+    n0, n1, n2 = g.nnods
+    top = n0 * n1 * (n2 - 1)
+    stations = [top, top + (n0 - 1), top + n0 * (n1 - 1),
+                top + n0 * n1 - 1, top + n0 * (n1 // 2) + n0 // 2]
+    fields = station_fields3d(g, U, stations, cfg)
+
+    # reciprocity: a direct solve from the source matches the fields
+    src = (n0 // 3) + n0 * (n1 // 3) + n0 * n1 * (n2 // 2)
+    d, _ = s3.solve3d(g, U, [src], cfg)
+    for k, s in enumerate(stations):
+        assert np.isclose(d[0, s], fields[k, src], atol=1e-6)
+
+    t_obs = fields[:, src] + 4.0
+    loc = locate3d(g, U, stations, t_obs, fields=fields, refine=False)
+    assert isinstance(loc, Location3D)
+    assert loc.node == src
+    assert abs(loc.t0 - 4.0) < 1e-6 and loc.node_rms < 1e-8
+    loc_r = locate3d(g, U, stations, t_obs, fields=fields, refine=True)
+    truth = np.array([g.x[src], g.y[src], g.z[src]])
+    assert np.linalg.norm(np.array([loc_r.x, loc_r.y, loc_r.z]) - truth) \
+        < 60.0
+    assert loc_r.rms <= loc.node_rms + 1e-9
+
+
+def test_locate3d_off_grid_event():
+    """Event between lattice points of a coarse 3-D locator, observed on
+    a 2x finer forward grid: the refined position must beat the node."""
+    from raytracer_tpu.solvers.locate import locate3d, station_fields3d
+
+    lo, hi = (0.0, 0.0, rt.R - 1500.0), (np.deg2rad(40.0),
+                                         np.deg2rad(40.0), rt.R)
+    g = rt.grid3d(lo, hi, (16, 12, 10))
+    gf = rt.grid3d(lo, hi, (31, 23, 19))
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U, Uf = (rt.interpolate_velocity(x.r, interp) for x in (g, gf))
+    cfg = SolverConfig(dtype="float64")
+
+    def surface_nodes(grid, fracs):
+        n0, n1, n2 = grid.nnods
+        top = n0 * n1 * (n2 - 1)
+        return [top + int(f0 * (n0 - 1)) + n0 * int(f1 * (n1 - 1))
+                for f0, f1 in fracs]
+
+    fracs = [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0), (0.5, 0.5),
+             (0.25, 0.75)]
+    stations = surface_nodes(g, fracs)
+    st_fine = surface_nodes(gf, fracs)
+    # fine node at odd indices -> between every coarse lattice plane
+    n0f, n1f, _ = gf.nnods
+    src_f = 9 + n0f * 7 + n0f * n1f * 9
+    t_obs = station_fields3d(gf, Uf, st_fine, cfg)[:, src_f]
+    truth = np.array([gf.x[src_f], gf.y[src_f], gf.z[src_f]])
+
+    loc = locate3d(g, U, stations, t_obs, refine=True, config=cfg)
+    node_err = np.linalg.norm(
+        np.array([g.x[loc.node], g.y[loc.node], g.z[loc.node]]) - truth)
+    ref_err = np.linalg.norm(np.array([loc.x, loc.y, loc.z]) - truth)
+    assert ref_err < node_err, (ref_err, node_err)
+
+
 def test_locate_many_catalogue(coarse):
     gr, solver, stations, fields = coarse
     nodes = [rt.closest_point(gr, np.deg2rad(d), rt.R - 800.0,
