@@ -64,6 +64,32 @@ def station_fields(solver, stations: Sequence[int]) -> np.ndarray:
 
 
 @jax.jit
+def _grid_search_catalogue_jit(T, T_obs, w2):
+    """Batched grid search for a whole catalogue in one dispatch.
+
+    The per-node misfit expands to matmul shape:
+      m[e, j] = sum_k w2_k (t_obs[e,k] - T[k,j] - t0[e,j])^2
+              = t1[e] - 2 (w2*T_obs) @ T + q[j] - W2 * t0[e,j]^2
+    with t0 the weighted mean residual — one (E, K) @ (K, n) matmul
+    (MXU-friendly) instead of E sequential searches."""
+    finite = jnp.all(jnp.isfinite(T), axis=0)           # (n,)
+    Tm = jnp.where(finite[None, :], T, 0.0)
+    w2T = w2[:, None] * Tm
+    s2 = jnp.sum(w2T, axis=0)                           # (n,)
+    q = jnp.sum(w2T * Tm, axis=0)                       # (n,)
+    a = w2[None, :] * T_obs                             # (E, K)
+    s1 = jnp.sum(a, axis=1)
+    t1 = jnp.sum(a * T_obs, axis=1)
+    W2 = jnp.sum(w2)
+    t0 = (s1[:, None] - s2[None, :]) / W2               # (E, n)
+    m = t1[:, None] - 2.0 * (a @ Tm) + q[None, :] - W2 * t0 * t0
+    m = jnp.where(finite[None, :], m, jnp.inf)
+    j = jnp.argmin(m, axis=1)
+    rows = jnp.arange(m.shape[0])
+    return j, t0[rows, j], m[rows, j]
+
+
+@jax.jit
 def _grid_search_jit(T, t_obs, w2):
     """Best node under weighted LSQ with t0 eliminated analytically.
     T: (K, n) station fields; t_obs: (K,); w2: (K,) squared weights."""
@@ -208,7 +234,7 @@ def _bent_times_and_dirs(solver, stations, T: np.ndarray, node: int,
 def locate(solver, stations: Sequence[int], t_obs: Sequence[float],
            sigma: Optional[Sequence[float]] = None, refine: bool = True,
            fields: Optional[np.ndarray] = None, bend: bool = False,
-           profile=None) -> Location:
+           profile=None, _search=None) -> Location:
     """Locate one event from arrival picks `t_obs` at `stations`
     (node ids).  sigma: per-pick uncertainties (s) for weighting.
     fields: precomputed `station_fields(solver, stations)` to amortise
@@ -233,8 +259,11 @@ def locate(solver, stations: Sequence[int], t_obs: Sequence[float],
         fields = station_fields(solver, stations)
     T = np.asarray(fields, np.float64)
 
-    j, t0, m = _grid_search_jit(jnp.asarray(T), jnp.asarray(t_obs),
-                                jnp.asarray(w * w))
+    if _search is not None:
+        j, t0, m = _search
+    else:
+        j, t0, m = _grid_search_jit(jnp.asarray(T), jnp.asarray(t_obs),
+                                    jnp.asarray(w * w))
     j, t0 = int(j), float(t0)
     w2sum = float(np.sum(w * w))
     node_rms = float(np.sqrt(max(float(m), 0.0) / w2sum))
@@ -385,11 +414,25 @@ def locate_many(solver, stations: Sequence[int], T_obs: np.ndarray,
                 fields: Optional[np.ndarray] = None, bend: bool = False,
                 profile=None) -> list:
     """Locate a catalogue: T_obs is (n_events, K) picks.  The K station
-    solves run once; each event costs one device grid search plus a
-    3-unknown host least squares (plus, with bend=True, one bending
-    dispatch)."""
+    solves run once, the grid searches for all events run as ONE
+    batched device dispatch per 64-event block (an (E, K) @ (K, n)
+    matmul — MXU shape — with the fields uploaded once, instead of one
+    search + sync per event), then each event costs a 3-unknown host
+    least squares (plus, with bend=True, one bending dispatch)."""
     if fields is None:
         fields = station_fields(solver, stations)
+    T_obs = np.asarray(T_obs, np.float64)
+    K = len(stations)
+    w = (np.ones(K) if sigma is None
+         else 1.0 / np.asarray(sigma, np.float64))
+    Tdev = jnp.asarray(np.asarray(fields, np.float64))
+    w2dev = jnp.asarray(w * w)
+    searches = []
+    for lo in range(0, len(T_obs), 64):   # (E, n) misfit block in memory
+        j, t0, m = _grid_search_catalogue_jit(
+            Tdev, jnp.asarray(T_obs[lo:lo + 64]), w2dev)
+        searches.extend(zip(np.asarray(j), np.asarray(t0), np.asarray(m)))
     return [locate(solver, stations, row, sigma=sigma, refine=refine,
-                   fields=fields, bend=bend, profile=profile)
-            for row in np.asarray(T_obs, np.float64)]
+                   fields=fields, bend=bend, profile=profile,
+                   _search=(int(j), float(t0), float(m)))
+            for row, (j, t0, m) in zip(T_obs, searches)]

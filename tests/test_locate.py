@@ -211,3 +211,22 @@ def test_locate_many_catalogue(coarse):
     assert len(locs) == 2 and all(isinstance(l, Location) for l in locs)
     for l, n in zip(locs, nodes):
         assert np.linalg.norm(_xy(gr, l.node) - _xy(gr, n)) < 1.0
+
+
+def test_batched_search_matches_per_event(coarse):
+    """The catalogue's one-dispatch matmul search must reproduce the
+    per-event grid search (node, t0, misfit) on noisy off-node picks."""
+    gr, solver, stations, fields = coarse
+    rng = np.random.default_rng(3)
+    nodes = rng.integers(0, gr.nnods, size=9)
+    T_obs = fields[:, nodes].T + rng.normal(0.0, 1.0,
+                                            (9, len(stations))) + 2.0
+    sigma = [0.5] * len(stations)
+    batched = locate_many(solver, stations, T_obs, sigma=sigma,
+                          refine=False, fields=fields)
+    for row, lb in zip(T_obs, batched):
+        l1 = locate(solver, stations, row, sigma=sigma, refine=False,
+                    fields=fields)
+        assert l1.node == lb.node
+        assert np.isclose(l1.t0, lb.t0, atol=1e-9)
+        assert np.isclose(l1.node_rms, lb.node_rms, atol=1e-9)
