@@ -408,6 +408,92 @@ def locate3d(gr3, U: np.ndarray, stations: Sequence[int],
                       delta=np.asarray(delta))
 
 
+def locate_dd(solver, stations: Sequence[int], T_obs: np.ndarray,
+              sigma: Optional[Sequence[float]] = None,
+              fields: Optional[np.ndarray] = None,
+              pairs: Optional[Sequence] = None,
+              anchor_weight: float = 0.2) -> list:
+    """Double-difference relocation of a catalogue (HypoDD-style).
+
+    For two nearby events the paths to a common station share almost all
+    of their length, so station-systematic model errors (unmodelled
+    heterogeneity, pick biases) cancel in the differenced residual
+      (t_a,k - t_b,k) - (T_k(x_a) - T_k(x_b)).
+    One joint weighted least squares over all events solves for every
+    (delta_e, t0_e) from the dd rows of `pairs` (default: all pairs)
+    plus absolute rows downweighted by `anchor_weight` — the anchors fix
+    the translation/origin-time gauge that differences alone leave free,
+    while systematic errors enter only at anchor_weight^2.
+
+    Returns Locations whose RELATIVE geometry is what improves; absolute
+    positions stay anchored to the plain grid search."""
+    gr = solver.gr
+    T_obs = np.asarray(T_obs, np.float64)
+    E, K = T_obs.shape
+    if K != len(stations):
+        raise ValueError(f"T_obs must be (n_events, {len(stations)})")
+    w = (np.ones(K) if sigma is None
+         else 1.0 / np.asarray(sigma, np.float64))
+    if fields is None:
+        fields = station_fields(solver, stations)
+    T = np.asarray(fields, np.float64)
+
+    base = locate_many(solver, stations, T_obs, sigma=sigma, refine=False,
+                       fields=fields)
+    nodes = [loc.node for loc in base]
+    grads, spacings = zip(*[_ray_gradients(gr, solver.A, solver.halo,
+                                           solver.U, T, j)
+                            for j in nodes])
+    if pairs is None:
+        pairs = [(a, b) for a in range(E) for b in range(a + 1, E)]
+
+    # unknowns per event: (dx, dz, t0)
+    nu = 3 * E
+    rows, rhs = [], []
+    for a, b in pairs:
+        for k in range(K):
+            row = np.zeros(nu)
+            row[3 * a:3 * a + 2] = grads[a][k]
+            row[3 * a + 2] = 1.0
+            row[3 * b:3 * b + 2] = -grads[b][k]
+            row[3 * b + 2] = -1.0
+            rows.append(row * w[k])
+            rhs.append(((T_obs[a, k] - T_obs[b, k])
+                        - (T[k, nodes[a]] - T[k, nodes[b]])) * w[k])
+    for e in range(E):
+        for k in range(K):
+            row = np.zeros(nu)
+            row[3 * e:3 * e + 2] = grads[e][k]
+            row[3 * e + 2] = 1.0
+            rows.append(row * (anchor_weight * w[k]))
+            rhs.append((T_obs[e, k] - T[k, nodes[e]])
+                       * (anchor_weight * w[k]))
+    design = np.stack(rows)
+    rhs = np.asarray(rhs)
+    sol, *_ = np.linalg.lstsq(design, rhs, rcond=None)
+
+    out = []
+    res = rhs - design @ sol
+    rms = float(np.sqrt(np.mean(res * res)))
+    x_all, z_all = np.asarray(gr.x), np.asarray(gr.z)
+    for e, loc in enumerate(base):
+        delta, t0 = sol[3 * e:3 * e + 2].copy(), float(sol[3 * e + 2])
+        nrm = float(np.linalg.norm(delta))
+        if nrm > spacings[e]:
+            delta = delta * (spacings[e] / nrm)
+        x = float(x_all[nodes[e]] + delta[0])
+        z = float(z_all[nodes[e]] + delta[1])
+        rr = float(np.hypot(x, z))
+        if rr > R:
+            x, z = x * (R / rr), z * (R / rr)
+        out.append(Location(node=nodes[e], x=x, z=z,
+                            theta=float(np.arctan2(x, z) % (2 * np.pi)),
+                            r=float(np.hypot(x, z)), t0=t0, rms=rms,
+                            node_rms=loc.node_rms,
+                            delta=np.asarray(delta)))
+    return out
+
+
 def locate_many(solver, stations: Sequence[int], T_obs: np.ndarray,
                 sigma: Optional[Sequence[float]] = None,
                 refine: bool = True,

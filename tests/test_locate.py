@@ -213,6 +213,39 @@ def test_locate_many_catalogue(coarse):
         assert np.linalg.norm(_xy(gr, l.node) - _xy(gr, n)) < 1.0
 
 
+def test_double_difference_improves_relative_geometry(coarse):
+    """Two nearby events with station-systematic model errors: the
+    errors cancel in the differenced residuals, so the dd inter-event
+    vector beats the independently-located one."""
+    from raytracer_tpu.solvers.locate import locate_dd
+
+    gr, solver, stations, fields = coarse
+    grf, Af, halof = rt.init_annulus(64, 16, spacing=120.0)
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    fine = rt.AnnulusSolver(grf, Af, halof,
+                            rt.interpolate_velocity(grf.r, interp),
+                            SolverConfig(dtype="float64"))
+    st_fine = [rt.closest_point(grf, np.deg2rad(d), rt.R, system="polar")
+               for d in STATION_DEGS]
+    ffine = station_fields(fine, st_fine)
+    ev = [rt.closest_point(grf, np.deg2rad(d), rt.R - h, system="polar")
+          for d, h in ((80.0, 500.0), (82.5, 650.0))]
+    true_rel = _xy(grf, ev[0]) - _xy(grf, ev[1])
+    rng = np.random.default_rng(5)
+    syst = rng.normal(0.0, 1.5, len(stations))      # per-station, shared
+    T_obs = np.stack([ffine[:, e] + syst for e in ev])
+
+    indep = locate_many(solver, stations, T_obs, fields=fields)
+    dd = locate_dd(solver, stations, T_obs, fields=fields)
+    rel_i = np.array([indep[0].x - indep[1].x, indep[0].z - indep[1].z])
+    rel_d = np.array([dd[0].x - dd[1].x, dd[0].z - dd[1].z])
+    err_i = np.linalg.norm(rel_i - true_rel)
+    err_d = np.linalg.norm(rel_d - true_rel)
+    assert err_d < err_i, (err_d, err_i)
+    assert err_d < 120.0, err_d
+
+
 def test_batched_search_matches_per_event(coarse):
     """The catalogue's one-dispatch matmul search must reproduce the
     per-event grid search (node, t0, misfit) on noisy off-node picks."""
