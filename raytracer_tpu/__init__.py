@@ -41,7 +41,9 @@ from .solvers.dijkstra import weight_matrix, weights
 from .models.delaunay import add_midpoints, triangle_annulus_2d
 from .solvers.dijkstra import dijkstra
 from .solvers.radius_stepping import radius_stepping
-from .solvers.path import backtrace_paths, recontruct_path, reconstruct_path
+from .solvers.path import (backtrace_paths, ray_parameters,
+                           recontruct_path, reconstruct_path,
+                           takeoff_angle)
 from .solvers.refine import refine_path, refine_paths_batch, resample_path
 from .solvers.sensitivity import (path_sensitivity, path_sensitivity_dual,
                                   sensitivity_coo, sensitivity_matrix)
@@ -107,8 +109,10 @@ __all__ = [
     "dijkstra",
     "radius_stepping",
     "backtrace_paths",
+    "ray_parameters",
     "recontruct_path",
     "reconstruct_path",
+    "takeoff_angle",
     "path_sensitivity",
     "path_sensitivity_dual",
     "sensitivity_coo",

@@ -64,12 +64,14 @@ def _branch(p: np.ndarray, r: np.ndarray, v: np.ndarray):
 
 
 def first_arrival(delta_deg, profile_r: np.ndarray, profile_v: np.ndarray,
-                  n_p: int = 20000) -> np.ndarray:
+                  n_p: int = 20000, return_p: bool = False):
     """First-arrival time(s) at epicentral distance(s) delta_deg.
 
     tau-p lower envelope over a dense ray-parameter sweep; exact for
     refracted branches.  profile_r ascending radii (km), profile_v the
-    velocity at those radii (km/s).
+    velocity at those radii (km/s).  return_p=True also returns the
+    minimising ray parameter p = dt/dDelta (s/rad) of the first arrival
+    — the Snell invariant the path-geometry tests anchor against.
     """
     r = np.asarray(profile_r, dtype=np.float64)
     vr = np.asarray(profile_v, dtype=np.float64)
@@ -83,10 +85,14 @@ def first_arrival(delta_deg, profile_r: np.ndarray, profile_v: np.ndarray,
     delta, T = _branch(p, r, v)
     tau = T - p * delta
 
-    out = []
+    out, pout = [], []
     for dd in np.atleast_1d(np.asarray(delta_deg, dtype=np.float64)):
         d = np.deg2rad(dd)
-        out.append(np.min(tau + p * d))
+        k = int(np.argmin(tau + p * d))
+        out.append(tau[k] + p[k] * d)
+        pout.append(p[k])
+    if return_p:
+        return np.asarray(out), np.asarray(pout)
     return np.asarray(out)
 
 

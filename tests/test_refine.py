@@ -101,3 +101,41 @@ def test_resample_preserves_endpoints_and_length(fan):
         return np.sum(np.linalg.norm(np.diff(p, axis=0), axis=1))
     assert alen(q) <= alen(pts) + 1e-9
     assert alen(q) > 0.95 * alen(pts)
+
+
+def test_ray_parameter_snell_invariance():
+    """Bent paths obey Benndorf's relation: the spherical ray parameter
+    p = r sin(theta)/v is ~constant along the path, its value matches
+    ray theory's dt/dDelta, and the raw SPM zigzag does neither."""
+    from raytracer_tpu.models.raytheory import first_arrival
+    from raytracer_tpu.solvers.path import ray_parameters, takeoff_angle
+
+    gr, A, halo = rt.init_annulus(64, 16, spacing=120.0)
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    solver = rt.AnnulusSolver(gr, A, halo,
+                              rt.interpolate_velocity(gr.r, interp),
+                              SolverConfig(dtype="float64"))
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    D = solver.solve(src)
+    _, p_ray = first_arrival([40.0, 60.0], prof.r[::4], prof.Vp[::4],
+                             return_p=True)
+    for i, deg in enumerate([40.0, 60.0]):
+        rec = rt.closest_point(gr, np.deg2rad(deg), R, system="polar")
+        path = rt.recontruct_path(D.prev, src, rec)
+        pts = np.stack([gr.x[path], gr.z[path]], axis=1)
+        bent, _ = rt.refine_path(pts, prof.r, prof.Vp)
+        p_raw = rt.ray_parameters(pts, prof.r, prof.Vp)
+        p_bent = rt.ray_parameters(bent, prof.r, prof.Vp)
+        # Snell invariant: tight along the bent ray, scattered raw
+        assert p_bent.std() < 0.03 * p_bent.mean(), (deg, p_bent.std())
+        assert p_raw.std() > 5.0 * p_bent.std()
+        # and its value is ray theory's dt/dDelta
+        assert abs(p_bent.mean() - p_ray[i]) < 0.02 * p_ray[i]
+        # chord-based incidence angle: downgoing from the receiver,
+        # within a few degrees of asin(p v / r)
+        ang = takeoff_angle(bent)
+        i_true = 180.0 - np.degrees(np.arcsin(
+            p_ray[i] * np.interp(R, prof.r, prof.Vp) / R))
+        assert 90.0 < ang < 180.0
+        assert abs(ang - i_true) < 8.0, (ang, i_true)
