@@ -366,15 +366,60 @@ def _ray_gradients3d(gr3, U: np.ndarray, T: np.ndarray, node: int):
     return u * slo[:, None], float(np.median(L))
 
 
+def _bent_times_and_dirs3d(gr3, U, stations, T: np.ndarray, node: int,
+                           profile):
+    """3-D analogue of `_bent_times_and_dirs`: predecessor trees from
+    the fixpoint condition (solve3d.recover_prev3d), node->station
+    backtraces, one vmapped bending dispatch.  Same accept-or-bias-
+    correct rule for paths whose continuous functional exceeds the SPM
+    edge-sum."""
+    from .path import recontruct_path
+    from .refine import refine_paths_batch
+    from .solve3d import recover_prev3d
+
+    if profile is not None:
+        rs, vs = (np.asarray(a, np.float64) for a in profile)
+    else:
+        order = np.argsort(np.asarray(gr3.r), kind="stable")
+        rs = np.asarray(gr3.r)[order]
+        vs = np.asarray(U, np.float64)[order]
+    xs = np.stack([np.asarray(gr3.x), np.asarray(gr3.y),
+                   np.asarray(gr3.z)], axis=1)
+    pts = []
+    for k, s in enumerate(stations):
+        prev = recover_prev3d(gr3, U, T[k], [int(s)])[0]
+        p = recontruct_path(prev, int(s), node)
+        pts.append(xs[p])
+    bent, t = refine_paths_batch(pts, rs, vs,
+                                 r_max=float(np.asarray(gr3.r_ax).max()))
+    t = np.asarray(t, np.float64)
+    t_spm = T[:, node]
+    ok = t <= t_spm + 0.5
+    if ok.any() and not ok.all():
+        bias = float(np.median(t_spm[ok] - t[ok]))
+        t = np.where(ok, t, t_spm - bias)
+    elif not ok.any():
+        t = t_spm
+    u = bent[:, 0, :] - bent[:, 1, :]
+    u /= np.maximum(np.linalg.norm(u, axis=1, keepdims=True), 1e-12)
+    slo = 1.0 / np.maximum(
+        np.interp(float(np.linalg.norm(xs[node])), rs, vs), 1e-12)
+    return t, u * slo, ok
+
+
 def locate3d(gr3, U: np.ndarray, stations: Sequence[int],
              t_obs: Sequence[float],
              sigma: Optional[Sequence[float]] = None, refine: bool = True,
-             fields: Optional[np.ndarray] = None,
-             config=None, **solve_kwargs) -> Location3D:
+             fields: Optional[np.ndarray] = None, bend: bool = False,
+             profile=None, config=None, **solve_kwargs) -> Location3D:
     """Locate one event on the 3-D spherical-wedge grid: the same
     reciprocity grid search + eikonal Gauss-Newton as `locate`, with the
     26-point structured stencil supplying the ray directions.  fields:
-    precomputed `station_fields3d(...)` to amortise across events."""
+    precomputed `station_fields3d(...)` to amortise across events.
+    bend=True bends the node->station backtraces (recover_prev3d +
+    solvers/refine.py) to strip the SPM bias from the residuals, as in
+    the 2-D `locate`; profile = (radii, velocities) for the continuous
+    functional."""
     t_obs = np.asarray(t_obs, np.float64)
     K = len(stations)
     if t_obs.shape != (K,):
@@ -396,7 +441,13 @@ def locate3d(gr3, U: np.ndarray, stations: Sequence[int],
     rms = node_rms
     if refine:
         g, spacing = _ray_gradients3d(gr3, U, T, j)
-        delta, t0, rms = _gn_solve(g, T[:, j], t_obs, w, spacing)
+        t_model = T[:, j]
+        if bend:
+            t_bent, g_bent, ok = _bent_times_and_dirs3d(gr3, U, stations,
+                                                        T, j, profile)
+            t_model = t_bent
+            g = np.where(ok[:, None], g_bent, g)
+        delta, t0, rms = _gn_solve(g, t_model, t_obs, w, spacing)
         pos = pos + delta
         rr = float(np.linalg.norm(pos))
         r_max = float(np.asarray(gr3.r_ax).max())

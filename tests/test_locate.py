@@ -201,6 +201,15 @@ def test_locate3d_off_grid_event():
     ref_err = np.linalg.norm(np.array([loc.x, loc.y, loc.z]) - truth)
     assert ref_err < node_err, (ref_err, node_err)
 
+    # bend mode: prev3d backtraces bent to the Fermat limit strip the
+    # SPM bias from the residuals
+    prof = rt.velocity_profile("ak135")
+    lb = locate3d(g, U, stations, t_obs, refine=True, bend=True,
+                  profile=(prof.r, prof.Vp), config=cfg)
+    bent_err = np.linalg.norm(np.array([lb.x, lb.y, lb.z]) - truth)
+    assert lb.rms < loc.rms, (lb.rms, loc.rms)
+    assert bent_err < node_err, (bent_err, node_err)
+
 
 def test_locate_many_catalogue(coarse):
     gr, solver, stations, fields = coarse
