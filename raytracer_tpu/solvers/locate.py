@@ -74,19 +74,22 @@ def _grid_search_catalogue_jit(T, T_obs, w2):
     (MXU-friendly) instead of E sequential searches."""
     finite = jnp.all(jnp.isfinite(T), axis=0)           # (n,)
     Tm = jnp.where(finite[None, :], T, 0.0)
-    w2T = w2[:, None] * Tm
-    s2 = jnp.sum(w2T, axis=0)                           # (n,)
-    q = jnp.sum(w2T * Tm, axis=0)                       # (n,)
-    a = w2[None, :] * T_obs                             # (E, K)
-    s1 = jnp.sum(a, axis=1)
-    t1 = jnp.sum(a * T_obs, axis=1)
     W2 = jnp.sum(w2)
-    t0 = (s1[:, None] - s2[None, :]) / W2               # (E, n)
-    m = t1[:, None] - 2.0 * (a @ Tm) + q[None, :] - W2 * t0 * t0
+    s2 = (w2 @ Tm)                                      # (n,)
+    s1 = T_obs @ w2                                     # (E,)
+    # demean both sides first: the t0 term then vanishes from the
+    # misfit and the quadratic expansion runs on residual-sized numbers
+    # (conditioning matters in the float32 on-chip path: times are
+    # O(1e3) s, misfit differences O(1) s^2)
+    Tc = Tm - (s2 / W2)[None, :]                        # (K, n)
+    Oc = T_obs - (s1 / W2)[:, None]                     # (E, K)
+    a = w2[None, :] * Oc
+    m = (jnp.sum(a * Oc, axis=1)[:, None]
+         - 2.0 * (a @ Tc) + (w2 @ (Tc * Tc))[None, :])
     m = jnp.where(finite[None, :], m, jnp.inf)
     j = jnp.argmin(m, axis=1)
     rows = jnp.arange(m.shape[0])
-    return j, t0[rows, j], m[rows, j]
+    return j, (s1 - s2[j]) / W2, m[rows, j]
 
 
 @jax.jit
@@ -184,7 +187,7 @@ def _station_prev(solver, field: np.ndarray, station: int) -> np.ndarray:
 
 
 def _bent_times_and_dirs(solver, stations, T: np.ndarray, node: int,
-                         profile):
+                         profile, _prev_cache: Optional[dict] = None):
     """Bend the node->station SPM paths to the continuous Fermat
     minimum (solvers/refine.py, one vmapped dispatch for the whole
     station set).  Returns the K bias-free model times and the K unit
@@ -205,7 +208,14 @@ def _bent_times_and_dirs(solver, stations, T: np.ndarray, node: int,
     x, z = np.asarray(gr.x), np.asarray(gr.z)
     pts = []
     for k, s in enumerate(stations):
-        prev = _station_prev(solver, T[k], int(s))
+        # station prev trees are event-independent: cache across a
+        # catalogue (locate_many passes one dict for all events)
+        if _prev_cache is not None and k in _prev_cache:
+            prev = _prev_cache[k]
+        else:
+            prev = _station_prev(solver, T[k], int(s))
+            if _prev_cache is not None:
+                _prev_cache[k] = prev
         p = recontruct_path(prev, int(s), node)   # node .. station order
         pts.append(np.stack([x[p], z[p]], axis=1))
     bent, t = refine_paths_batch(pts, rs, vs)
@@ -234,7 +244,8 @@ def _bent_times_and_dirs(solver, stations, T: np.ndarray, node: int,
 def locate(solver, stations: Sequence[int], t_obs: Sequence[float],
            sigma: Optional[Sequence[float]] = None, refine: bool = True,
            fields: Optional[np.ndarray] = None, bend: bool = False,
-           profile=None, _search=None) -> Location:
+           profile=None, _search=None,
+           _prev_cache: Optional[dict] = None) -> Location:
     """Locate one event from arrival picks `t_obs` at `stations`
     (node ids).  sigma: per-pick uncertainties (s) for weighting.
     fields: precomputed `station_fields(solver, stations)` to amortise
@@ -276,8 +287,8 @@ def locate(solver, stations: Sequence[int], t_obs: Sequence[float],
                                     T, j)
         t_model = T[:, j]
         if bend:
-            t_bent, g_bent, ok = _bent_times_and_dirs(solver, stations,
-                                                      T, j, profile)
+            t_bent, g_bent, ok = _bent_times_and_dirs(
+                solver, stations, T, j, profile, _prev_cache=_prev_cache)
             t_model = t_bent
             g = np.where(ok[:, None], g_bent, g)
         delta, t0, rms = _gn_solve(g, t_model, t_obs, w, spacing)
@@ -489,6 +500,11 @@ def locate_dd(solver, stations: Sequence[int], T_obs: np.ndarray,
         fields = station_fields(solver, stations)
     T = np.asarray(fields, np.float64)
 
+    if pairs is None and E > 64:
+        raise ValueError(
+            f"{E} events give {E * (E - 1) // 2} dense dd pairs; pass an "
+            "explicit `pairs` list (e.g. nearest neighbours) above 64 "
+            "events")
     base = locate_many(solver, stations, T_obs, sigma=sigma, refine=False,
                        fields=fields)
     nodes = [loc.node for loc in base]
@@ -569,7 +585,9 @@ def locate_many(solver, stations: Sequence[int], T_obs: np.ndarray,
         j, t0, m = _grid_search_catalogue_jit(
             Tdev, jnp.asarray(T_obs[lo:lo + 64]), w2dev)
         searches.extend(zip(np.asarray(j), np.asarray(t0), np.asarray(m)))
+    prev_cache: dict = {}     # station prev trees, shared across events
     return [locate(solver, stations, row, sigma=sigma, refine=refine,
                    fields=fields, bend=bend, profile=profile,
-                   _search=(int(j), float(t0), float(m)))
+                   _search=(int(j), float(t0), float(m)),
+                   _prev_cache=prev_cache)
             for row, (j, t0, m) in zip(T_obs, searches)]
