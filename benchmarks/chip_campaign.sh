@@ -45,7 +45,11 @@ run_step 2400 "dsweep3d 128x128x64" python benchmarks/chip_dsweep3d.py
 # 4. Banded GS vs Jacobi on the production Delaunay.
 run_step 2400 "banded_gs" python benchmarks/chip_banded_gs.py
 
-# 5. Driver bench (records probe trail incl. sweep-first ordering).
+# 5. Location layer on the production mesh (station solves + batched
+#    catalogue search + GN refinement).
+run_step 1800 "chip_locate" python benchmarks/chip_locate.py
+
+# 6. Driver bench (records probe trail incl. sweep-first ordering).
 run_step 3600 "bench.py" python bench.py
 
 echo "######## campaign end $(stamp) ########" | tee -a "$LOG"
