@@ -462,6 +462,14 @@ def main():
                          "bending-refinement table (CPU-safe)")
     ap.add_argument("--out", default="ACCURACY.md")
     args = ap.parse_args()
+    if args.refine_only:
+        # CPU-safe section: force the CPU platform BEFORE any jax op —
+        # the JAX_PLATFORMS env var is ignored under the axon tunnel,
+        # and a down tunnel would otherwise hang/kill backend init
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     if args.pcp_only or args.refine_only:
         cached = _load_cache()
         mvm = {k: (np.asarray(v) if isinstance(v, list) else v)

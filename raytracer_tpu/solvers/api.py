@@ -285,6 +285,24 @@ class AnnulusSolver:
             return dist
         return np.stack([_bfm.solve(self.ell, int(s), self.config).dist for s in sources])
 
+    def recover_prev(self, dist) -> np.ndarray:
+        """Predecessor tree from a converged distance field: the device
+        argmin sweep on circulant meshes, the host PrevRecovery
+        elsewhere (the same machinery `solve(want_prev=True)` uses —
+        callers with external fields, e.g. the locator's reciprocity
+        station fields, share it here)."""
+        if self.circulant is not None:
+            from ..ops.circulant import recover_prev_device
+
+            return recover_prev_device(self.circulant, dist,
+                                       _dcache=self._device_cache)
+        if self._prev_rec is None:
+            from ..ops.circulant import PrevRecovery
+
+            self._prev_rec = PrevRecovery(self.gr, self.A, self.halo,
+                                          self.U)
+        return self._prev_rec(np.asarray(dist, dtype=np.float64))
+
     def solve(self, source: int, want_prev: bool = True,
               device_dist: bool = False) -> BellmanFordMoore:
         """Single-source solve.  device_dist=True (kernel paths only)
@@ -302,12 +320,7 @@ class AnnulusSolver:
                 self.last_iterations = iters
                 dist = dist[0]
                 if want_prev:
-                    if self._prev_rec is None:
-                        from ..ops.circulant import PrevRecovery
-
-                        self._prev_rec = PrevRecovery(self.gr, self.A,
-                                                      self.halo, self.U)
-                    prev = self._prev_rec(np.asarray(dist, dtype=np.float64))
+                    prev = self.recover_prev(dist)
                     prev[source] = source
                 else:
                     prev = np.arange(len(dist))
@@ -315,10 +328,7 @@ class AnnulusSolver:
             return _bfm.solve(self.ell, source, self.config)
         dist = self._dist_batch([source], device_out=device_dist)[0]
         if want_prev:
-            from ..ops.circulant import recover_prev_device
-
-            prev = recover_prev_device(self.circulant, dist,
-                                       _dcache=self._device_cache)
+            prev = self.recover_prev(dist)
             prev[source] = source
         else:
             prev = np.arange(len(dist))
@@ -355,19 +365,13 @@ class AnnulusSolver:
         solver's own sampled (r, U): on coarse grids that is a visibly
         coarser velocity model, and the refined time is the Fermat
         limit of THAT model (still strictly below the SPM time)."""
+        from .locate import _radial_profile
         from .path import recontruct_path
         from .refine import refine_paths_batch
 
         if D is None:
             D = self.solve(source, want_prev=True)
-        if profile is not None:
-            rs, vs = (np.asarray(a, np.float64) for a in profile)
-        else:
-            order = np.argsort(np.asarray(self.gr.r), kind="stable")
-            rs = np.asarray(self.gr.r)[order]
-            vs = self.U[order]
-            if vs.ndim == 2:   # dual velocities: bend on the mean column
-                vs = vs.mean(axis=1)
+        rs, vs = _radial_profile(profile, self.gr.r, self.U)
         paths = [recontruct_path(D.prev, source, r) for r in receivers]
         pts = [np.stack([self.gr.x[p], self.gr.z[p]], axis=1)
                for p in paths]

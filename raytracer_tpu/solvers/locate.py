@@ -26,7 +26,6 @@ Delivered natively here, in three steps:
 """
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
@@ -116,19 +115,19 @@ def _twin_partners_of(halo, node: int) -> list:
     return sorted(out)
 
 
-def _edge_weight_in(gr, U: np.ndarray, tail: int, heads: np.ndarray,
-                    L: np.ndarray) -> np.ndarray:
-    """Weights of edges tail <- heads, matching ops/weights.py exactly
+def _edge_weight_in(gr, U: np.ndarray, tails: np.ndarray,
+                    heads: np.ndarray, L: np.ndarray) -> np.ndarray:
+    """Weights of edges tails <- heads, matching ops/weights.py exactly
     (scalar harmonic mean, or the dual head/tail radius pick of
     src/SSSP/bfm.jl:134-146)."""
     U = np.asarray(U, np.float64)
     if U.ndim == 1:
-        usum = U[tail] + U[heads]
+        usum = U[tails] + U[heads]
     else:
         r = np.asarray(gr.r)
-        head_above = r[tail] > r[heads]
+        head_above = r[tails] > r[heads]
         U_head = np.where(head_above, U[heads, 1], U[heads, 0])
-        U_tail = np.where(head_above, U[tail, 0], U[tail, 1])
+        U_tail = np.where(head_above, U[tails, 0], U[tails, 1])
         usum = U_head + U_tail
     return np.where(usum > 0, 2.0 * L / np.where(usum > 0, usum, 1.0),
                     np.inf)
@@ -142,23 +141,27 @@ def _ray_gradients(gr, A, halo, U, T: np.ndarray, node: int):
     gradient is the segment slowness (w/L) times the unit vector away
     from it.  Zero-length twin hops carry no direction, so the
     candidate set is the node's neighbours PLUS its twins' neighbours
-    (the twin sits at the same point up to the -0.05 km offset)."""
+    (the twin sits at the same point up to the -0.05 km offset); an
+    edge reached via a twin is priced with the TWIN as its tail — the
+    twin carries the other layer's velocity state."""
     A = A.tocsr()
     twins = _twin_partners_of(halo, node)
-    cands: set = set()
+    cand_via: dict = {}
     for j in (node, *twins):
-        cands |= set(A.indices[A.indptr[j]:A.indptr[j + 1]].tolist())
-    cands.discard(node)
-    cands -= set(twins)
-    cand = np.asarray(sorted(cands), dtype=np.int64)
+        for i in A.indices[A.indptr[j]:A.indptr[j + 1]].tolist():
+            cand_via.setdefault(i, j)    # node's own edges take priority
+    for j in (node, *twins):
+        cand_via.pop(j, None)
+    cand = np.asarray(sorted(cand_via), dtype=np.int64)
+    via = np.asarray([cand_via[i] for i in cand], dtype=np.int64)
     xs = np.stack([np.asarray(gr.x), np.asarray(gr.z)], axis=1)
     p = xs[node]
     L = np.linalg.norm(xs[cand] - p, axis=1)
     keep = L > 1e-6
-    cand, L = cand[keep], L[keep]
+    cand, via, L = cand[keep], via[keep], L[keep]
     if cand.size == 0:
         raise ValueError(f"node {node} has no finite-length neighbours")
-    w = _edge_weight_in(gr, U, node, cand, L)
+    w = _edge_weight_in(gr, U, via, cand, L)
     cost = T[:, cand] + w[None, :]                   # (K, C)
     kbest = np.argmin(cost, axis=1)
     u = (p[None, :] - xs[cand[kbest]]) / L[kbest][:, None]
@@ -166,22 +169,25 @@ def _ray_gradients(gr, A, halo, U, T: np.ndarray, node: int):
     return u * slo[:, None], float(np.median(L))
 
 
+def _radial_profile(profile, r, U):
+    """(radii, velocities) for the continuous bending functional: the
+    explicit table when given, else the grid's own sampled velocities
+    (dual columns averaged) — the convention of
+    `AnnulusSolver.refined_travel_times`."""
+    if profile is not None:
+        return tuple(np.asarray(a, np.float64) for a in profile)
+    order = np.argsort(np.asarray(r), kind="stable")
+    rs = np.asarray(r)[order]
+    vs = np.asarray(U, np.float64)[order]
+    if vs.ndim == 2:
+        vs = vs.mean(axis=1)
+    return rs, vs
+
+
 def _station_prev(solver, field: np.ndarray, station: int) -> np.ndarray:
     """Predecessor tree of one station field (rooted at the station),
-    via the device recovery on circulant meshes and the host recovery
-    elsewhere — the exact machinery `AnnulusSolver.solve` uses."""
-    if solver.circulant is not None:
-        from ..ops.circulant import recover_prev_device
-
-        prev = recover_prev_device(solver.circulant, field,
-                                   _dcache=solver._device_cache)
-    else:
-        from ..ops.circulant import PrevRecovery
-
-        if getattr(solver, "_prev_rec", None) is None:
-            solver._prev_rec = PrevRecovery(solver.gr, solver.A,
-                                            solver.halo, solver.U)
-        prev = solver._prev_rec(np.asarray(field, np.float64))
+    via `AnnulusSolver.recover_prev` — the machinery `solve` uses."""
+    prev = solver.recover_prev(field)
     prev[station] = station
     return prev
 
@@ -197,14 +203,7 @@ def _bent_times_and_dirs(solver, stations, T: np.ndarray, node: int,
     from .refine import refine_paths_batch
 
     gr = solver.gr
-    if profile is not None:
-        rs, vs = (np.asarray(a, np.float64) for a in profile)
-    else:
-        order = np.argsort(np.asarray(gr.r), kind="stable")
-        rs = np.asarray(gr.r)[order]
-        vs = np.asarray(solver.U, np.float64)[order]
-        if vs.ndim == 2:
-            vs = vs.mean(axis=1)
+    rs, vs = _radial_profile(profile, gr.r, solver.U)
     x, z = np.asarray(gr.x), np.asarray(gr.z)
     pts = []
     for k, s in enumerate(stations):
@@ -264,6 +263,9 @@ def locate(solver, stations: Sequence[int], t_obs: Sequence[float],
     K = len(stations)
     if t_obs.shape != (K,):
         raise ValueError(f"t_obs must have shape ({K},), got {t_obs.shape}")
+    if bend and not refine:
+        raise ValueError("bend=True requires refine=True (the bent model "
+                         "times feed the Gauss-Newton step)")
     w = (np.ones(K) if sigma is None
          else 1.0 / np.asarray(sigma, np.float64))
     if fields is None:
@@ -315,10 +317,14 @@ def _gn_solve(g: np.ndarray, t_model: np.ndarray, t_obs: np.ndarray,
     sol, *_ = np.linalg.lstsq(design, rhs, rcond=None)
     delta, t0 = sol[:d], float(sol[d])
     nrm = float(np.linalg.norm(delta))
+    w2sum = float(np.sum(w * w))
     if nrm > max_step:
         delta = delta * (max_step / nrm)
+        # the joint t0 was optimal for the FULL step; re-solve it for
+        # the clamped one (weighted mean of the remaining residual)
+        t0 = float(np.sum(w * w * (t_obs - t_model - g @ delta)) / w2sum)
     res = rhs - design @ np.concatenate([delta, [t0]])
-    rms = float(np.sqrt(np.sum(res * res) / np.sum(w * w)))
+    rms = float(np.sqrt(np.sum(res * res) / w2sum))
     return delta, t0, rms
 
 
@@ -378,28 +384,32 @@ def _ray_gradients3d(gr3, U: np.ndarray, T: np.ndarray, node: int):
 
 
 def _bent_times_and_dirs3d(gr3, U, stations, T: np.ndarray, node: int,
-                           profile):
+                           profile, config=None,
+                           _prev_cache: Optional[dict] = None):
     """3-D analogue of `_bent_times_and_dirs`: predecessor trees from
-    the fixpoint condition (solve3d.recover_prev3d), node->station
-    backtraces, one vmapped bending dispatch.  Same accept-or-bias-
-    correct rule for paths whose continuous functional exceeds the SPM
-    edge-sum."""
+    the fixpoint condition (solve3d.recover_prev3d, one batched call —
+    its prepare3d pack and weight upload are shared across the K
+    stations), node->station backtraces, one vmapped bending dispatch.
+    Same accept-or-bias-correct rule for paths whose continuous
+    functional exceeds the SPM edge-sum."""
+    from ..config import DEFAULT_SOLVER_CONFIG
     from .path import recontruct_path
     from .refine import refine_paths_batch
     from .solve3d import recover_prev3d
 
-    if profile is not None:
-        rs, vs = (np.asarray(a, np.float64) for a in profile)
-    else:
-        order = np.argsort(np.asarray(gr3.r), kind="stable")
-        rs = np.asarray(gr3.r)[order]
-        vs = np.asarray(U, np.float64)[order]
+    rs, vs = _radial_profile(profile, gr3.r, U)
     xs = np.stack([np.asarray(gr3.x), np.asarray(gr3.y),
                    np.asarray(gr3.z)], axis=1)
+    if _prev_cache is not None and "prev" in _prev_cache:
+        prevs = _prev_cache["prev"]
+    else:
+        prevs = recover_prev3d(gr3, U, T, [int(s) for s in stations],
+                               config or DEFAULT_SOLVER_CONFIG)
+        if _prev_cache is not None:
+            _prev_cache["prev"] = prevs
     pts = []
     for k, s in enumerate(stations):
-        prev = recover_prev3d(gr3, U, T[k], [int(s)])[0]
-        p = recontruct_path(prev, int(s), node)
+        p = recontruct_path(prevs[k], int(s), node)
         pts.append(xs[p])
     bent, t = refine_paths_batch(pts, rs, vs,
                                  r_max=float(np.asarray(gr3.r_ax).max()))
@@ -435,6 +445,9 @@ def locate3d(gr3, U: np.ndarray, stations: Sequence[int],
     K = len(stations)
     if t_obs.shape != (K,):
         raise ValueError(f"t_obs must have shape ({K},), got {t_obs.shape}")
+    if bend and not refine:
+        raise ValueError("bend=True requires refine=True (the bent model "
+                         "times feed the Gauss-Newton step)")
     w = (np.ones(K) if sigma is None
          else 1.0 / np.asarray(sigma, np.float64))
     if fields is None:
@@ -454,8 +467,8 @@ def locate3d(gr3, U: np.ndarray, stations: Sequence[int],
         g, spacing = _ray_gradients3d(gr3, U, T, j)
         t_model = T[:, j]
         if bend:
-            t_bent, g_bent, ok = _bent_times_and_dirs3d(gr3, U, stations,
-                                                        T, j, profile)
+            t_bent, g_bent, ok = _bent_times_and_dirs3d(
+                gr3, U, stations, T, j, profile, config=config)
             t_model = t_bent
             g = np.where(ok[:, None], g_bent, g)
         delta, t0, rms = _gn_solve(g, t_model, t_obs, w, spacing)
@@ -540,19 +553,24 @@ def locate_dd(solver, stations: Sequence[int], T_obs: np.ndarray,
     sol, *_ = np.linalg.lstsq(design, rhs, rcond=None)
 
     out = []
-    res = rhs - design @ sol
-    rms = float(np.sqrt(np.mean(res * res)))
     x_all, z_all = np.asarray(gr.x), np.asarray(gr.z)
+    w2sum = float(np.sum(w * w))
     for e, loc in enumerate(base):
         delta, t0 = sol[3 * e:3 * e + 2].copy(), float(sol[3 * e + 2])
         nrm = float(np.linalg.norm(delta))
         if nrm > spacings[e]:
             delta = delta * (spacings[e] / nrm)
+            t0 = float(np.sum(w * w * (T_obs[e] - T[:, nodes[e]]
+                                       - grads[e] @ delta)) / w2sum)
         x = float(x_all[nodes[e]] + delta[0])
         z = float(z_all[nodes[e]] + delta[1])
         rr = float(np.hypot(x, z))
         if rr > R:
             x, z = x * (R / rr), z * (R / rr)
+        # per-event rms of the ABSOLUTE residuals at this solution
+        # (comparable to locate's; the dd rows are a joint objective)
+        res = (T_obs[e] - T[:, nodes[e]] - grads[e] @ delta - t0) * w
+        rms = float(np.sqrt(np.sum(res * res) / w2sum))
         out.append(Location(node=nodes[e], x=x, z=z,
                             theta=float(np.arctan2(x, z) % (2 * np.pi)),
                             r=float(np.hypot(x, z)), t0=t0, rms=rms,
