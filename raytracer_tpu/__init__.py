@@ -48,8 +48,8 @@ from .solvers.refine import refine_path, refine_paths_batch, resample_path
 from .solvers.sensitivity import (path_sensitivity, path_sensitivity_dual,
                                   sensitivity_coo, sensitivity_matrix)
 from .solvers.locate import (Location, Location3D, locate, locate3d,
-                             locate_dd, locate_many, station_fields,
-                             station_fields3d)
+                             locate_dd, locate_many, locate_many3d,
+                             station_fields, station_fields3d)
 from .solvers.types import BellmanFordMoore, Dijkstra, RadiusStepping
 from .utils.io import save_matfile, save_solution_npz, travel_times
 from .utils.plotting import layers2plot, plot_paths
@@ -126,6 +126,7 @@ __all__ = [
     "locate3d",
     "locate_dd",
     "locate_many",
+    "locate_many3d",
     "station_fields",
     "station_fields3d",
     "BellmanFordMoore",

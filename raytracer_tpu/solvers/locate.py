@@ -432,7 +432,9 @@ def locate3d(gr3, U: np.ndarray, stations: Sequence[int],
              t_obs: Sequence[float],
              sigma: Optional[Sequence[float]] = None, refine: bool = True,
              fields: Optional[np.ndarray] = None, bend: bool = False,
-             profile=None, config=None, **solve_kwargs) -> Location3D:
+             profile=None, config=None, _search=None,
+             _prev_cache: Optional[dict] = None,
+             **solve_kwargs) -> Location3D:
     """Locate one event on the 3-D spherical-wedge grid: the same
     reciprocity grid search + eikonal Gauss-Newton as `locate`, with the
     26-point structured stencil supplying the ray directions.  fields:
@@ -454,8 +456,11 @@ def locate3d(gr3, U: np.ndarray, stations: Sequence[int],
         fields = station_fields3d(gr3, U, stations, config, **solve_kwargs)
     T = np.asarray(fields, np.float64)
 
-    j, t0, m = _grid_search_jit(jnp.asarray(T), jnp.asarray(t_obs),
-                                jnp.asarray(w * w))
+    if _search is not None:
+        j, t0, m = _search
+    else:
+        j, t0, m = _grid_search_jit(jnp.asarray(T), jnp.asarray(t_obs),
+                                    jnp.asarray(w * w))
     j, t0 = int(j), float(t0)
     node_rms = float(np.sqrt(max(float(m), 0.0) / float(np.sum(w * w))))
 
@@ -468,7 +473,8 @@ def locate3d(gr3, U: np.ndarray, stations: Sequence[int],
         t_model = T[:, j]
         if bend:
             t_bent, g_bent, ok = _bent_times_and_dirs3d(
-                gr3, U, stations, T, j, profile, config=config)
+                gr3, U, stations, T, j, profile, config=config,
+                _prev_cache=_prev_cache)
             t_model = t_bent
             g = np.where(ok[:, None], g_bent, g)
         delta, t0, rms = _gn_solve(g, t_model, t_obs, w, spacing)
@@ -481,6 +487,37 @@ def locate3d(gr3, U: np.ndarray, stations: Sequence[int],
                       z=float(pos[2]), r=float(np.linalg.norm(pos)),
                       t0=t0, rms=rms, node_rms=node_rms,
                       delta=np.asarray(delta))
+
+
+def locate_many3d(gr3, U: np.ndarray, stations: Sequence[int],
+                  T_obs: np.ndarray,
+                  sigma: Optional[Sequence[float]] = None,
+                  refine: bool = True,
+                  fields: Optional[np.ndarray] = None, bend: bool = False,
+                  profile=None, config=None, **solve_kwargs) -> list:
+    """3-D catalogue location: one batched grid-search dispatch per
+    64-event block (like `locate_many`), station fields and — with
+    bend=True — the recovered predecessor trees computed once and
+    shared across events."""
+    if fields is None:
+        fields = station_fields3d(gr3, U, stations, config, **solve_kwargs)
+    T_obs = np.asarray(T_obs, np.float64)
+    K = len(stations)
+    w = (np.ones(K) if sigma is None
+         else 1.0 / np.asarray(sigma, np.float64))
+    Tdev = jnp.asarray(np.asarray(fields, np.float64))
+    w2dev = jnp.asarray(w * w)
+    searches = []
+    for lo in range(0, len(T_obs), 64):
+        j, t0, m = _grid_search_catalogue_jit(
+            Tdev, jnp.asarray(T_obs[lo:lo + 64]), w2dev)
+        searches.extend(zip(np.asarray(j), np.asarray(t0), np.asarray(m)))
+    prev_cache: dict = {}
+    return [locate3d(gr3, U, stations, row, sigma=sigma, refine=refine,
+                     fields=fields, bend=bend, profile=profile,
+                     config=config, _search=(int(j), float(t0), float(m)),
+                     _prev_cache=prev_cache)
+            for row, (j, t0, m) in zip(T_obs, searches)]
 
 
 def locate_dd(solver, stations: Sequence[int], T_obs: np.ndarray,

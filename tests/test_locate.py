@@ -211,6 +211,39 @@ def test_locate3d_off_grid_event():
     assert bent_err < node_err, (bent_err, node_err)
 
 
+def test_locate_many3d_matches_per_event():
+    """3-D catalogue path: batched searches + shared prev trees must
+    reproduce per-event locate3d (incl. bend mode) exactly."""
+    from raytracer_tpu.solvers.locate import (locate3d, locate_many3d,
+                                              station_fields3d)
+
+    g = rt.grid3d((0.0, 0.0, rt.R - 1500.0),
+                  (np.deg2rad(40.0), np.deg2rad(40.0), rt.R),
+                  (16, 12, 10))
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = rt.interpolate_velocity(g.r, interp)
+    cfg = SolverConfig(dtype="float64")
+    n0, n1, n2 = g.nnods
+    top = n0 * n1 * (n2 - 1)
+    stations = [top, top + (n0 - 1), top + n0 * (n1 - 1),
+                top + n0 * n1 - 1, top + n0 * (n1 // 2) + n0 // 2]
+    fields = station_fields3d(g, U, stations, cfg)
+    rng = np.random.default_rng(2)
+    ev = rng.integers(0, g.nnods_total, size=5)
+    T_obs = fields[:, ev].T + rng.normal(0.0, 0.5, (5, len(stations)))
+    batched = locate_many3d(g, U, stations, T_obs, fields=fields,
+                            bend=True, profile=(prof.r, prof.Vp),
+                            config=cfg)
+    for row, lb in zip(T_obs, batched):
+        l1 = locate3d(g, U, stations, row, fields=fields, bend=True,
+                      profile=(prof.r, prof.Vp), config=cfg)
+        assert l1.node == lb.node
+        assert np.allclose([l1.x, l1.y, l1.z], [lb.x, lb.y, lb.z],
+                           atol=1e-8)
+        assert np.isclose(l1.t0, lb.t0, atol=1e-8)
+
+
 def test_locate_many_catalogue(coarse):
     gr, solver, stations, fields = coarse
     nodes = [rt.closest_point(gr, np.deg2rad(d), rt.R - 800.0,
