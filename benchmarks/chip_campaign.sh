@@ -38,6 +38,11 @@ echo "--- [$(stamp)] tpu_parity done ---" | tee -a "$LOG"
 run_step 1800 "dsweep 180x63 + 1080x300" python benchmarks/chip_dsweep.py 0 1
 run_step 2400 "dsweep 2160x600" python benchmarks/chip_dsweep.py 3
 run_step 2400 "dsweep 2880x800" python benchmarks/chip_dsweep.py 4
+# 15M-node config only if its grid cache was pre-built (host build
+# would otherwise eat the whole timeout)
+if ls .cache/annulus_v1_4320x1200_sp5_star1.npz >/dev/null 2>&1; then
+  run_step 3000 "dsweep 4320x1200 (15M nodes)" python benchmarks/chip_dsweep.py 5
+fi
 
 # 3. 3-D sweep engine vs the pallas Jacobi kernel (1M-node wedge).
 run_step 2400 "dsweep3d 128x128x64" python benchmarks/chip_dsweep3d.py

@@ -1,7 +1,8 @@
 """On-chip benchmark: directional-sweep engines vs production paths.
 
 Usage: python /tmp/chip_dsweep.py [config_index ...]
-Configs: 0=180x63sp20 1=1080x300sp20 2=1440x400sp10 3=2160x600sp10 4=2880x800sp5
+Configs: 0=180x63sp20 1=1080x300sp20 2=1440x400sp10 3=2160x600sp10
+         4=2880x800sp5 5=4320x1200sp5 (~15M nodes, streamed/sweep only)
 """
 import sys
 import time
@@ -17,7 +18,7 @@ from raytracer_tpu.config import R, SolverConfig
 from raytracer_tpu.utils.cache import init_annulus_cached
 
 CONFIGS = [(180, 63, 20.0), (1080, 300, 20.0), (1440, 400, 10.0),
-           (2160, 600, 10.0), (2880, 800, 5.0)]
+           (2160, 600, 10.0), (2880, 800, 5.0), (4320, 1200, 5.0)]
 sel = [int(a) for a in sys.argv[1:]] or [0, 1, 3]
 
 for ci in sel:
