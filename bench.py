@@ -147,8 +147,11 @@ def main():
         log(f"jnp circulant on CPU: solve {t_jnp*1e3:.0f} ms")
         print(json.dumps({
             "metric": "BFM single-source solve wall-clock, 180x63 AK135 "
-                      "annulus (CPU FALLBACK - TPU tunnel unavailable; "
-                      "ref CPU-4t 2.31s)",
+                      "annulus (CPU FALLBACK - TPU tunnel unavailable, "
+                      "measured on this 1-core host; ref CPU-4t 2.31s. "
+                      "Last on-chip driver capture: 0.0513 s = 45x, "
+                      "BENCH_r02.json; device-resident mode 0.041 s, "
+                      "benchmarks/results_tpu.csv)",
             "value": round(t_jnp, 4),
             "unit": "s",
             "vs_baseline": round(BASELINE_4T / t_jnp, 2),
