@@ -211,6 +211,36 @@ def test_locate3d_off_grid_event():
     assert bent_err < node_err, (bent_err, node_err)
 
 
+def test_locate_on_unstructured_delaunay_mesh():
+    """The locator is layout-agnostic: on a Delaunay annulus (banded/ELL
+    solver path, no circulant structure) an on-grid event is recovered
+    exactly, including the host PrevRecovery-based bend machinery."""
+    from raytracer_tpu.models.annulus import node_adjacency
+    from raytracer_tpu.models.delaunay import (add_midpoints,
+                                               triangle_annulus_2d)
+
+    gr = add_midpoints(triangle_annulus_2d(nr=12, spacing=500.0))
+    A = node_adjacency(gr, star=0)
+    halo = np.empty((0, 2), np.int64)
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = rt.interpolate_velocity(gr.r, interp)
+    solver = rt.AnnulusSolver(gr, A, halo, U, SolverConfig(dtype="float64"))
+    assert solver.circulant is None      # really the non-circulant path
+    stations = [rt.closest_point(gr, np.deg2rad(d), rt.R, system="polar")
+                for d in (0.0, 60.0, 140.0, 220.0, 300.0)]
+    fields = station_fields(solver, stations)
+    true = rt.closest_point(gr, np.deg2rad(100.0), rt.R - 800.0,
+                            system="polar")
+    t_obs = fields[:, true] + 2.0
+    loc = locate(solver, stations, t_obs, refine=False, fields=fields)
+    assert np.linalg.norm(_xy(gr, loc.node) - _xy(gr, true)) < 1.0
+    assert abs(loc.t0 - 2.0) < 1e-6
+    lb = locate(solver, stations, t_obs, fields=fields, bend=True,
+                profile=(prof.r, prof.Vp))
+    assert np.linalg.norm(np.array([lb.x, lb.z]) - _xy(gr, true)) < 600.0
+
+
 def test_locate_many3d_matches_per_event():
     """3-D catalogue path: batched searches + shared prev trees must
     reproduce per-event locate3d (incl. bend mode) exactly."""
