@@ -142,3 +142,30 @@ def test_sharded_3d_table():
     tab_s = travel_time_table_3d(packed, sources, recs, F64, mesh,
                                  engine="sweep")
     np.testing.assert_allclose(tab_s, ref, rtol=1e-9, atol=1e-6)
+
+
+def test_locate_with_sharded_station_fields(tiny_annulus, tiny_velocity):
+    """The locator consumes station fields produced by the SHARDED
+    circulant table (stations sharded over the mesh) and recovers an
+    on-grid event exactly — the location layer rides the distributed
+    path end to end."""
+    from raytracer_tpu.ops.circulant import build_circulant
+    from raytracer_tpu.parallel import travel_time_table_circulant
+    from raytracer_tpu.solvers.locate import locate
+
+    gr, A, halo = tiny_annulus
+    stations = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+                for d in (0.0, 70.0, 150.0, 230.0, 310.0)]
+    cg = build_circulant(gr, A, halo, tiny_velocity, dtype=np.float64)
+    fields = np.asarray(
+        travel_time_table_circulant(cg, stations, np.arange(gr.nnods),
+                                    F64, make_mesh()), np.float64)
+    solver = rt.AnnulusSolver(gr, A, halo, tiny_velocity, F64,
+                              method="circulant")
+    true = rt.closest_point(gr, np.deg2rad(120.0), R - 900.0,
+                            system="polar")
+    t_obs = fields[:, true] + 3.0
+    loc = locate(solver, stations, t_obs, refine=False, fields=fields)
+    xy = np.array([gr.x[loc.node], gr.z[loc.node]])
+    np.testing.assert_allclose(xy, [gr.x[true], gr.z[true]], atol=1.0)
+    assert abs(loc.t0 - 3.0) < 1e-6
