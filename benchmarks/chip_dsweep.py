@@ -4,8 +4,11 @@ Usage: python /tmp/chip_dsweep.py [config_index ...]
 Configs: 0=180x63sp20 1=1080x300sp20 2=1440x400sp10 3=2160x600sp10
          4=2880x800sp5 5=4320x1200sp5 (~15M nodes, streamed/sweep only)
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -5,8 +5,11 @@ Measures: single-source full-field, single-source receiver-only, and a
 64-source x 1024-receiver table, for engine in (pallas, sweep) and (for
 sweep) source_batch in (1, 4, 8).
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
