@@ -69,8 +69,10 @@ for ci in sel:
         except Exception as e:  # noqa: BLE001
             print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
 
-    auto = "twrapped" if gr.nnods < 350_000 else "stream"
-    run(f"{auto} (auto)", "auto")
-    run(f"{auto} (auto)", "auto", device_dist=True)
+    # auto routes to 'sweep' since r03; request the Jacobi kernels
+    # explicitly so the comparison stays a comparison
+    jac = "twrapped" if gr.nnods < 350_000 else "stream"
+    run(f"{jac} (jacobi)", jac)
+    run(f"{jac} (jacobi)", jac, device_dist=True)
     run("sweep (pallas)", "sweep")
     run("sweep (pallas)", "sweep", device_dist=True)

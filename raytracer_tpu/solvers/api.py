@@ -29,11 +29,14 @@ class AnnulusSolver:
     """One-time graph packing + repeated SSSP solves.
 
     method:
-      'auto'      -> 'twrapped' on TPU (fastest; falls back to 'wrapped'
-                     then 'diag' for unsupported ntheta, and self-routes
-                     to 'stream' when the grid exceeds the monolithic
-                     kernel's VMEM budget); 'circulant' elsewhere (the
-                     Pallas kernels' interpret mode is for tests only)
+      'auto'      -> 'sweep' on TPU (fastest at every measured size, see
+                     benchmarks/chip_campaign_r03.log: 32 vs 38 ms at
+                     150k nodes, 87 vs 511 ms at 3.25M, 190 vs 1465 ms
+                     at 6.85M device-resident; falls back to the Jacobi
+                     kernels 'twrapped'/'stream' when the circulant
+                     layout lacks sweep support); 'circulant' elsewhere
+                     (the Pallas kernels' interpret mode is for tests
+                     only)
       'twrapped'  -> theta-major full-iteration Pallas kernel
                      (ops/wrapped_t.py): moving-frame band sweep with
                      min-plus band closure, scans + fan in-kernel
@@ -85,17 +88,19 @@ class AnnulusSolver:
         self.last_iterations: Optional[int] = None
 
         fallback = "ell"
+        was_auto = method == "auto"
         if method == "auto":
             import jax
 
             if jax.devices()[0].platform == "tpu":
-                # measured crossover (PERF_NOTES.md round 3): the
-                # monolithic kernel wins below ~350k nodes (the solve is
-                # tunnel-latency-bound and its in-kernel iterations are
-                # cheapest); the streamed path wins beyond (450k: 104 vs
-                # 118 ms, 828k: 223 vs 245, 1.74M: 385 vs 680) and has
-                # no VMEM ceiling
-                method = "twrapped" if gr.nnods <= 350_000 else "stream"
+                # the directional-sweep engine wins at every measured
+                # size (chip campaign r03, device-resident: 32 vs 38 ms
+                # at 150k nodes, 52 vs 100 ms at 828k, 87 vs 511 ms at
+                # 3.25M, 190 vs 1465 ms at 6.85M) because its round
+                # count is constant (~2-4) where the Jacobi kernels pay
+                # O(span) iterations; Jacobi routing kept as the
+                # fallback for circulants without sweep support
+                method = "sweep"
                 # non-circulant meshes: the gather-free banded sweep
                 # beats the ELL gather path by ~2 orders of magnitude on
                 # TPU (ops/banded.py)
@@ -119,6 +124,14 @@ class AnnulusSolver:
                     self.circulant = build_circulant_cached(gr, A, halo, U, dtype, cache_dir)
                 else:
                     self.circulant = build_circulant(gr, A, halo, U, dtype=dtype)
+                if method == "sweep" and was_auto:
+                    from ..ops.wrapped_t import supports_twrapped
+
+                    # auto only: unsupported wrap structure re-routes to
+                    # the Jacobi chain (twrapped/stream by size)
+                    if not supports_twrapped(self.circulant):
+                        method = ("twrapped" if gr.nnods <= 350_000
+                                  else "stream")
                 if method == "twrapped":
                     from ..ops.wrapped_t import supports_twrapped
 

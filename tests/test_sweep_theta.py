@@ -105,3 +105,33 @@ def test_device_out_matches(problem):
     d_dev, it_d = solve_circulant_sweep(cg, src, CFG, device_out=True)
     assert it_h == it_d
     np.testing.assert_array_equal(np.asarray(d_dev), d_host)
+
+
+def test_api_sweep_solver_with_prev():
+    """AnnulusSolver(method='sweep') end to end — the path the TPU
+    `auto` routing now takes: distances match the jnp circulant solver
+    and the predecessor tree recovered from the sweep-converged field
+    backtraces to paths whose times agree with the field."""
+    gr, A, halo = rt.init_annulus(48, 12, spacing=150.0)
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = rt.interpolate_velocity(gr.r, interp)
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    sw = rt.AnnulusSolver(gr, A, halo, U, CFG, method="sweep")
+    assert sw.method == "sweep"
+    ref = rt.AnnulusSolver(gr, A, halo, U, CFG, method="circulant")
+    D = sw.solve(src, want_prev=True)
+    D_ref = ref.solve(src, want_prev=False)
+    np.testing.assert_allclose(D.dist, D_ref.dist, atol=TOL, rtol=0)
+    # prev validity: every finite receiver's backtrace ends at the
+    # source and is monotone in the distance field
+    for deg in (30.0, 90.0, 170.0):
+        rec = rt.closest_point(gr, np.deg2rad(deg), R, system="polar")
+        path = rt.recontruct_path(D.prev, src, rec)
+        assert path[-1] == src
+        d_along = np.asarray(D.dist)[path]
+        assert np.all(np.diff(d_along) <= TOL)  # receiver -> source
+    # table entry agrees with the single solve
+    tab = sw.travel_time_table([src], [rec])
+    np.testing.assert_allclose(tab[0, 0], np.asarray(D.dist)[rec],
+                               atol=TOL, rtol=0)
