@@ -209,3 +209,41 @@ def test_prev_recovery_device_with_unreachable(tiny_annulus):
     fan = np.flatnonzero(reach)
     fan = fan[fan != cen]
     np.testing.assert_array_equal(prev0[fan], np.full(fan.size, cen))
+
+
+def test_build_matches_coo_oracle(circ):
+    """The CSR-slice construction (r3: the COO path cost 40 min at 12.9M
+    nodes on one host core) must reproduce the straightforward full-COO
+    stencil extraction entry for entry, including the halo zero-weight
+    edges and the sort tie-break order."""
+    from raytracer_tpu.ops.circulant import csr_edge_weights, _DC_RANGE
+
+    gr, A, halo, U, cg = circ
+    cm = cg.cmap
+    nt, M = cm.ntheta, cm.M
+    coo = A.tocoo()
+    rows = np.concatenate([coo.row.astype(np.int64), halo[:, 1]])
+    cols = np.concatenate([coo.col.astype(np.int64), halo[:, 0]])
+    is_halo = np.zeros(len(rows), bool)
+    is_halo[len(coo.row):] = True
+    center = cm.center
+    keep = (rows != center) & (cols != center)
+    w = csr_edge_weights(gr, rows[keep], cols[keep], U)
+    w[is_halo[keep]] = 0.0
+    dc = (cm.c_of[cols[keep]] - cm.c_of[rows[keep]]) % nt
+    dc = np.where(dc > nt // 2, dc - nt, dc)
+    m_dst, m_src = cm.m_of[rows[keep]], cm.m_of[cols[keep]]
+    # rebuild the (M, K) ELL from column 0's pattern, the oracle way
+    sel = cm.c_of[rows[keep]] == 0
+    order = np.lexsort((m_src[sel], dc[sel], m_dst[sel]))
+    sm_dst = m_dst[sel][order]
+    src_flat = (dc[sel][order] + _DC_RANGE) * M + m_src[sel][order]
+    deg = np.bincount(sm_dst, minlength=M)
+    offs = np.concatenate([[0], np.cumsum(deg)[:-1]])
+    k_idx = np.arange(len(sm_dst)) - offs[sm_dst]
+    oracle_src = np.zeros_like(cg.src_flat)
+    oracle_w = np.full(cg.w.shape, np.inf, cg.w.dtype)
+    oracle_src[sm_dst, k_idx] = src_flat
+    oracle_w[sm_dst, k_idx] = w[sel][order]
+    np.testing.assert_array_equal(cg.src_flat, oracle_src)
+    np.testing.assert_array_equal(cg.w, oracle_w)
