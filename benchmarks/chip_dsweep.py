@@ -21,7 +21,9 @@ from raytracer_tpu.config import R, SolverConfig
 from raytracer_tpu.utils.cache import init_annulus_cached
 
 CONFIGS = [(180, 63, 20.0), (1080, 300, 20.0), (1440, 400, 10.0),
-           (2160, 600, 10.0), (2880, 800, 5.0), (4320, 1200, 5.0)]
+           (2160, 600, 10.0), (2880, 800, 5.0), (4320, 1200, 5.0),
+           (270, 63, 20.0),   # 6: the reference's 6-thread config
+           (5760, 1600, 5.0)]  # 7: ~20M nodes (edge stream ~1B, int32-safe)
 sel = [int(a) for a in sys.argv[1:]] or [0, 1, 3]
 
 for ci in sel:
