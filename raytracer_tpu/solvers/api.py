@@ -113,6 +113,7 @@ class AnnulusSolver:
         self._twrapped_stencil = None
         self._sweep_stencil = None
         self._device_cache: dict = {}
+        self._interpret_cached = None
 
         dtype = np.dtype(config.dtype)
         if method in ("twrapped", "sweep", "stream", "wrapped", "diag",
@@ -167,6 +168,18 @@ class AnnulusSolver:
     def method(self) -> str:
         return self._method
 
+    @property
+    def _interpret(self) -> bool:
+        """Mosaic kernels only compile on TPU; off-TPU an explicitly
+        requested kernel method runs in Pallas interpret mode (the
+        testing mode every kernel is equality-tested under) instead of
+        crashing in the backend lowering."""
+        if self._interpret_cached is None:
+            import jax
+
+            self._interpret_cached = jax.devices()[0].platform != "tpu"
+        return self._interpret_cached
+
     def _dist_batch(self, sources: Sequence[int],
                     receivers=None, batch: int = 8,
                     device_out: bool = False) -> np.ndarray:
@@ -199,6 +212,7 @@ class AnnulusSolver:
                     self.circulant, sources, self.config,
                     batch=min(batch, smax, len(sources)),
                     receivers=receivers, device_out=device_out,
+                    interpret=self._interpret,
                     _packed=self._twrapped_stencil
                 )
                 self.last_iterations = iters
@@ -239,7 +253,8 @@ class AnnulusSolver:
                 self.circulant, sources, self.config,
                 band_closure=self.config.band_closure,
                 batch=min(batch, len(sources)), receivers=receivers,
-                device_out=device_out, _packed=self._twrapped_stencil
+                device_out=device_out, interpret=self._interpret,
+                _packed=self._twrapped_stencil
             )
             self.last_iterations = iters
             return dist
@@ -253,7 +268,8 @@ class AnnulusSolver:
             dist, iters = solve_circulant_wrapped(
                 self.circulant, sources, self.config,
                 batch=min(batch, len(sources)), receivers=receivers,
-                device_out=device_out, _packed=self._wrapped_stencil
+                device_out=device_out, interpret=self._interpret,
+                _packed=self._wrapped_stencil
             )
             self.last_iterations = iters
             return dist
@@ -275,12 +291,15 @@ class AnnulusSolver:
                     self.circulant, dtype=np.dtype(self.config.dtype)
                 )
             dist, iters = solve_circulant_diag(
-                self.circulant, sources, self.config, _packed=self._diag_stencil
+                self.circulant, sources, self.config,
+                interpret=self._interpret, _packed=self._diag_stencil
             )
             self.last_iterations = iters
             return dist
         if self._method == "pallas":
-            dist, iters = solve_circulant_pallas(self.circulant, sources, self.config)
+            dist, iters = solve_circulant_pallas(self.circulant, sources,
+                                                 self.config,
+                                                 interpret=self._interpret)
             self.last_iterations = iters
             return dist
         if self._method == "circulant":

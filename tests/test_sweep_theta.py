@@ -135,3 +135,71 @@ def test_api_sweep_solver_with_prev():
     tab = sw.travel_time_table([src], [rec])
     np.testing.assert_allclose(tab[0, 0], np.asarray(D.dist)[rec],
                                atol=TOL, rtol=0)
+
+
+def test_sweep_odd_ntheta():
+    """nt=45: odd column count, NTT pad 3 (>= dc range) — the wrap
+    regime between the 48-column seam-blind and 128-column exact cases.
+    Explicit method='sweep' must still hit the Jacobi fixpoint."""
+    gr, A, halo = rt.init_annulus(45, 8, spacing=300.0)
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = rt.interpolate_velocity(gr.r, interp)
+    cg = build_circulant(gr, A, halo, U)
+    from raytracer_tpu.ops.wrapped_t import supports_twrapped
+    assert supports_twrapped(cg)
+    for deg in (0.0, 181.0):
+        src = rt.closest_point(gr, np.deg2rad(deg), R, system="polar")
+        d_ref, _ = solve_circulant(cg, src, CFG)
+        d, rounds = solve_circulant_sweep(cg, src, CFG)
+        assert rounds < 40
+        np.testing.assert_allclose(d[0], d_ref, atol=TOL, rtol=0)
+
+
+def test_unsupported_wrap_reroutes():
+    """nt=47 pads to 48 with dup=1 < dc range: the theta-major family
+    cannot cover the seam, supports_twrapped must say so, and the auto
+    route (which prefers sweep on TPU) must fall back to a correct
+    solver rather than a wrong kernel."""
+    gr, A, halo = rt.init_annulus(47, 8, spacing=300.0)
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = rt.interpolate_velocity(gr.r, interp)
+    cg = build_circulant(gr, A, halo, U)
+    from raytracer_tpu.ops.wrapped_t import supports_twrapped
+    assert not supports_twrapped(cg)
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    d_ref, _ = solve_circulant(cg, src, CFG)
+    # explicit twrapped re-routes (wrapped/diag chain) and stays exact
+    s = rt.AnnulusSolver(gr, A, halo, U, CFG, method="twrapped")
+    assert s.method != "twrapped"
+    D = s.solve(src, want_prev=False)
+    np.testing.assert_allclose(D.dist, d_ref, atol=TOL, rtol=0)
+
+
+def test_pallas_engine_lane_blocked(monkeypatch):
+    """Force NTB < NTL (production hits this only at ~13M+ nodes, where
+    the un-blocked kernel's two field windows blow the VMEM ceiling) so
+    the lane-blocked kernel + generalized per-boundary seamfix path is
+    exercised: blocks are seam-blind at BOTH edges and every block
+    boundary's band edges must be re-applied exactly."""
+    import raytracer_tpu.ops.sweep_theta as swt
+    from raytracer_tpu.ops.wrapped_t import pack_twrapped_stencil
+
+    gr, A, halo = rt.init_annulus(256, 6, spacing=400.0)
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = rt.interpolate_velocity(gr.r, interp)
+    cg = build_circulant(gr, A, halo, U)
+    ws = pack_twrapped_stencil(cg, dtype=np.float32, band_closure=0)
+    monkeypatch.setattr(swt, "_RSWEEP_WINDOW_BYTES", 1)  # force max split
+    for deg in (0.0, 179.0):
+        src = rt.closest_point(gr, np.deg2rad(deg), R, system="polar")
+        d_ref, _ = solve_circulant(cg, src, CFG)
+        d, rounds = solve_circulant_sweep(cg, src, CFG, engine="pallas",
+                                          interpret=True, _packed=ws)
+        assert rounds < 40
+        np.testing.assert_allclose(d[0], d_ref, atol=TOL, rtol=0,
+                                   err_msg=f"deg={deg}")
+    _, rst = swt.pack_rsweep_tables(ws, cg, np.float32)
+    assert rst.NTB == 128 and rst.NTL == 256  # blocking really engaged
