@@ -445,7 +445,16 @@ class RSweepStatic(NamedTuple):
 
     MT   : field slot rows (round_up(Mp, 8))
     K8   : slab rows = round_up(maxdm, 8); also the +inf pad row count
-    NTL  : theta lanes (round_up(nt, 128); pad lanes +inf)
+    NTL  : theta lanes (round_up(nt, 128), then rounded up to a multiple
+           of NTB; pad lanes +inf)
+    NTB  : theta lanes per kernel block.  NTB == NTL on grids whose two
+           field windows fit the VMEM budget (the original single-block
+           kernel); larger grids split the lane axis over NTL // NTB
+           grid steps, each block seam-blind at BOTH edges (roll-wrapped
+           lanes masked +inf in-kernel) with every boundary's band edges
+           re-applied exactly by the generalized seamfix - the wrap-seam
+           treatment applied to NB-1 more places.  This removes the
+           ~13M-node VMEM ceiling (2 x 80.75 MB windows at 8640x2400).
     taps_dn/up : ((dm, dc, w_col), ...) static tap lists
     Ddn/Dup    : weight-table lane counts (round_up(len(taps), 128))
     """
@@ -453,10 +462,24 @@ class RSweepStatic(NamedTuple):
     MT: int
     K8: int
     NTL: int
+    NTB: int
     taps_dn: Tuple[Tuple[int, int, int], ...]
     taps_up: Tuple[Tuple[int, int, int], ...]
     Ddn: int
     Dup: int
+
+
+# VMEM budgets for the radial-sweep kernel.  in+out field windows are
+# both resident (Mosaic does not collapse them under
+# input_output_aliases).  A single-block grid is single-buffered, so
+# nb=1 holds up to 2 x _RSWEEP_SINGLE_BYTES; a multi-block grid is
+# DOUBLE-BUFFERED per window by the block pipeline (measured:
+# "2 buffering levels", 2x40.4 MB windows = 163 MB > 128 at 8640x2400),
+# so blocked windows budget 4 x _RSWEEP_WINDOW_BYTES.  Measured on
+# chip: 5760x1600 (37 MB window) runs 372 ms unblocked vs 487 ms
+# blocked - prefer nb=1 whenever it fits.
+_RSWEEP_SINGLE_BYTES = 52 * 1024 * 1024
+_RSWEEP_WINDOW_BYTES = 24 * 1024 * 1024
 
 
 def pack_rsweep_tables(ws: TWStencil, cg: CirculantGraph, dtype,
@@ -478,6 +501,17 @@ def pack_rsweep_tables(ws: TWStencil, cg: CirculantGraph, dtype,
     maxdm = int(np.max(np.abs(dec.dms)))
     K8 = _round_up(max(maxdm, 1), SUB)
     NTL = _round_up(ws.nt, LANES)
+    # lane blocking: split theta only when the (MT+K8, NTL) window
+    # exceeds the single-block budget; NTL is re-padded to a block
+    # multiple
+    itemsize = np.dtype(dtype).itemsize
+    full_bytes = (MT + K8) * NTL * itemsize
+    if full_bytes <= _RSWEEP_SINGLE_BYTES:
+        NTB = NTL
+    else:
+        nb = max(2, -(-full_bytes // _RSWEEP_WINDOW_BYTES))
+        NTB = _round_up(-(-NTL // nb), LANES)
+        NTL = NTB * (-(-NTL // NTB))
     if slot_mask is None:
         wmat = dec.wmat
     else:
@@ -499,7 +533,7 @@ def pack_rsweep_tables(ws: TWStencil, cg: CirculantGraph, dtype,
 
     wtab_dn, taps_dn, Ddn = _pack(+1)
     wtab_up, taps_up, Dup = _pack(-1)
-    static = RSweepStatic(MT=MT, K8=K8, NTL=NTL, taps_dn=taps_dn,
+    static = RSweepStatic(MT=MT, K8=K8, NTL=NTL, NTB=NTB, taps_dn=taps_dn,
                           taps_up=taps_up, Ddn=Ddn, Dup=Dup)
     out = ((wtab_dn, wtab_up), static)
     if slot_mask is None:
@@ -522,13 +556,30 @@ def _make_rsweep_kernel(rst: RSweepStatic, upward: bool, dtype):
     and every op preserves them; lane rolls that cross the seam read
     +inf (seam edges are re-applied exactly by the XLA seamfix step).
     """
-    MT, K8, NTL = rst.MT, rst.K8, rst.NTL
+    MT, K8 = rst.MT, rst.K8
+    NTL = rst.NTB      # lane width the kernel actually sees (one block)
+    blocked = rst.NTB < rst.NTL
     taps = rst.taps_up if upward else rst.taps_dn
     nblocks = MT // SUB
     inf = np.asarray(np.inf, dtype)
 
+    def edge_mask(src, dc):
+        """+inf the lanes whose roll source crossed the block edge.
+        Single-block kernels keep the original semantics (pad lanes /
+        exact wrap handle the seam); blocked kernels are seam-blind at
+        BOTH block edges and the generalized seamfix re-applies every
+        boundary edge exactly."""
+        if not blocked or not dc:
+            return src
+        lanes = jax.lax.broadcasted_iota(jnp.int32, src.shape, 1)
+        bad = (lanes >= NTL - dc) if dc > 0 else (lanes < -dc)
+        return jnp.where(bad, inf, src)
+
     def kernel(w_ref, buf_ref, out_ref):
-        # work in out_ref (read-after-write Gauss-Seidel buffer)
+        # work in out_ref (read-after-write Gauss-Seidel buffer); the
+        # field input is donated (input_output_aliases) so the HBM
+        # buffer is reused, though Mosaic still allocates both VMEM
+        # windows - the lane blocking above is what bounds VMEM
         out_ref[0] = buf_ref[0]
 
         def body(g, carry):
@@ -560,7 +611,8 @@ def _make_rsweep_kernel(rst: RSweepStatic, upward: bool, dtype):
             for dm, dc, iw in taps:
                 src = tap_src(dm)
                 if dc:
-                    src = pltpu.roll(src, (-dc) % NTL, axis=1)
+                    src = edge_mask(pltpu.roll(src, (-dc) % NTL, axis=1),
+                                    dc)
                 cur = jnp.minimum(cur, src + wb[:, iw: iw + 1])
 
             rows = [cur[j: j + 1] for j in range(SUB)]
@@ -572,7 +624,8 @@ def _make_rsweep_kernel(rst: RSweepStatic, upward: bool, dtype):
                         continue
                     src = rows[jj]
                     if dc:
-                        src = pltpu.roll(src, (-dc) % NTL, axis=1)
+                        src = edge_mask(pltpu.roll(src, (-dc) % NTL,
+                                                   axis=1), dc)
                     rows[j] = jnp.minimum(rows[j],
                                           src + wb[j: j + 1, iw: iw + 1])
             out_ref[0, pl.ds(b, SUB), :] = jnp.concatenate(rows, axis=0)
@@ -585,19 +638,25 @@ def _make_rsweep_kernel(rst: RSweepStatic, upward: bool, dtype):
 
 def _rsweep_call(bufs, wtab, rst: RSweepStatic, upward: bool,
                  interpret: bool):
-    """bufs: (S, MT+K8, NTL) padded T-layout field -> swept field."""
+    """bufs: (S, MT+K8, NTL) padded T-layout field -> swept field.
+
+    Lane-blocked: grid (S, NTL // NTB); each block sweeps its own theta
+    slice (radial trips are lane-independent apart from the |dc| <= 2
+    rolls, which the kernel edge-masks when blocked)."""
     S = bufs.shape[0]
     kernel = _make_rsweep_kernel(rst, upward, bufs.dtype)
     MTK = rst.MT + rst.K8
+    nb = rst.NTL // rst.NTB
     return pl.pallas_call(
         kernel,
-        grid=(S,),
+        grid=(S, nb),
         out_shape=jax.ShapeDtypeStruct(bufs.shape, bufs.dtype),
         in_specs=[
-            pl.BlockSpec(wtab.shape, lambda s: (0, 0)),
-            pl.BlockSpec((1, MTK, rst.NTL), lambda s: (s, 0, 0)),
+            pl.BlockSpec(wtab.shape, lambda s, t: (0, 0)),
+            pl.BlockSpec((1, MTK, rst.NTB), lambda s, t: (s, 0, t)),
         ],
-        out_specs=pl.BlockSpec((1, MTK, rst.NTL), lambda s: (s, 0, 0)),
+        out_specs=pl.BlockSpec((1, MTK, rst.NTB), lambda s, t: (s, 0, t)),
+        input_output_aliases={1: 0},
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
@@ -824,20 +883,29 @@ def _run_sweep_rounds(dist0, cen0, it0, tbl: SweepTables, wtab_dn, wtab_up,
     def hscan(v):
         return _hscan(v, tbl, static)
 
-    # seam window: 8 circular columns centred on the seam; destinations
-    # are window positions 2..5 = columns [nt-2, nt-1, 0, 1]
-    widx = jnp.asarray([(nt - 4 + i) % nt for i in range(8)], jnp.int32)
-    didx = jnp.asarray([nt - 2, nt - 1, 0, 1], jnp.int32)
+    # seam windows: 8 circular columns centred on every kernel-blind
+    # boundary - the theta wrap (column 0) plus, when the radial kernel
+    # is lane-blocked, each block boundary k*NTB; destinations are
+    # window positions 2..5.  Sequential per boundary: windows can
+    # overlap near the wrap and min-composition is order-safe.
+    nb_lanes = rst.NTL // rst.NTB
+    bounds = [0] + [k * rst.NTB for k in range(1, nb_lanes)
+                    if k * rst.NTB < nt]
+    wd_idx = [(jnp.asarray([(b - 4 + i) % nt for i in range(8)], jnp.int32),
+               jnp.asarray([(b - 2 + j) % nt for j in range(4)], jnp.int32))
+              for b in bounds]
 
     def seamfix(v):
-        W8 = v[:, widx, :]                           # (S, 8, ML)
-        dst = W8[:, 2:6, :]
-        for g_i, dc in enumerate(range(-_DC_RANGE, _DC_RANGE + 1)):
-            rows = tbl.wg[g_i]
-            for i, dm in enumerate(static.dms[g_i]):
-                src = jnp.roll(W8[:, 2 + dc: 6 + dc, :], -dm, axis=2)
-                dst = jnp.minimum(dst, src + rows[i][None, None, :])
-        return v.at[:, didx, :].set(dst)
+        for widx, didx in wd_idx:
+            W8 = v[:, widx, :]                       # (S, 8, ML)
+            dst = W8[:, 2:6, :]
+            for g_i, dc in enumerate(range(-_DC_RANGE, _DC_RANGE + 1)):
+                rows = tbl.wg[g_i]
+                for i, dm in enumerate(static.dms[g_i]):
+                    src = jnp.roll(W8[:, 2 + dc: 6 + dc, :], -dm, axis=2)
+                    dst = jnp.minimum(dst, src + rows[i][None, None, :])
+            v = v.at[:, didx, :].set(dst)
+        return v
 
     def rnd(state: SweepState) -> SweepState:
         v, cen = state.dist, state.cen

@@ -192,7 +192,8 @@ def test_pallas_engine_lane_blocked(monkeypatch):
     U = rt.interpolate_velocity(gr.r, interp)
     cg = build_circulant(gr, A, halo, U)
     ws = pack_twrapped_stencil(cg, dtype=np.float32, band_closure=0)
-    monkeypatch.setattr(swt, "_RSWEEP_WINDOW_BYTES", 1)  # force max split
+    monkeypatch.setattr(swt, "_RSWEEP_SINGLE_BYTES", 1)  # force blocking
+    monkeypatch.setattr(swt, "_RSWEEP_WINDOW_BYTES", 1)  # ... maximal
     for deg in (0.0, 179.0):
         src = rt.closest_point(gr, np.deg2rad(deg), R, system="polar")
         d_ref, _ = solve_circulant(cg, src, CFG)
