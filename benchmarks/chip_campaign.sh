@@ -38,10 +38,19 @@ echo "--- [$(stamp)] tpu_parity done ---" | tee -a "$LOG"
 run_step 1800 "dsweep 180x63 + 1080x300" python benchmarks/chip_dsweep.py 0 1
 run_step 2400 "dsweep 2160x600" python benchmarks/chip_dsweep.py 3
 run_step 2400 "dsweep 2880x800" python benchmarks/chip_dsweep.py 4
-# 15M-node config only if its grid cache was pre-built (host build
-# would otherwise eat the whole timeout)
+# reference's 6-thread config
+run_step 1200 "dsweep 270x63" python benchmarks/chip_dsweep.py 6
+# 12.9M / 12M / 20.9M-node configs only if their grid caches were
+# pre-built (host build would otherwise eat the whole timeout)
 if ls .cache/annulus_v1_4320x1200_sp5_star1.npz >/dev/null 2>&1; then
-  run_step 3000 "dsweep 4320x1200 (15M nodes)" python benchmarks/chip_dsweep.py 5
+  run_step 3000 "dsweep 4320x1200 (12.9M nodes)" python benchmarks/chip_dsweep.py 5
+fi
+if ls .cache/annulus_v1_5760x1600_sp5_star1.npz >/dev/null 2>&1; then
+  run_step 3000 "dsweep 5760x1600 (12M nodes)" python benchmarks/chip_dsweep.py 7
+fi
+if ls .cache/annulus_v1_8640x2400_sp5_star1.npz >/dev/null 2>&1; then
+  run_step 3600 "dsweep 8640x2400 (20.9M nodes, lane-blocked kernel)" \
+    python benchmarks/chip_dsweep.py 8
 fi
 
 # 3. 3-D sweep engine vs the pallas Jacobi kernel (1M-node wedge).
