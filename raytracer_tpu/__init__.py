@@ -30,6 +30,9 @@ from .models.grid3d import (
     nodal_incidence3d,
 )
 from .models.partition import GridPartition, find_layer_number, level_mask, partition_grid
+from .models.amplitude import (ak135_spreading, amplitude_factor,
+                               attenuation_factor, geometrical_spreading,
+                               tstar)
 from .models.interpolation import bilinear, barycentric_coordinates, interpolate_elementwise
 from .ops.relax import DeviceGraph
 from .ops.circulant import CirculantError, CirculantGraph, build_circulant, solve_circulant
@@ -110,6 +113,11 @@ __all__ = [
     "radius_stepping",
     "backtrace_paths",
     "ray_parameters",
+    "tstar",
+    "attenuation_factor",
+    "geometrical_spreading",
+    "ak135_spreading",
+    "amplitude_factor",
     "recontruct_path",
     "reconstruct_path",
     "takeoff_angle",
