@@ -35,14 +35,22 @@ def main():
     ap.add_argument("--model", default="ak135")
     ap.add_argument("--wave", default="Vp", choices=["Vp", "Vs"])
     ap.add_argument("--method", default="auto",
-                    choices=["auto", "twrapped", "wrapped", "diag", "circulant",
-                             "pallas", "fused", "ell"])
+                    choices=["auto", "sweep", "stream", "twrapped", "wrapped",
+                             "diag", "circulant", "pallas", "fused", "banded",
+                             "ell"])
     ap.add_argument("--out-prefix", default="annulus_run")
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--refine", action="store_true",
                     help="bend the receiver-fan paths to the continuous "
                          "Fermat minimum (solvers/refine.py) and write "
                          "<prefix>_travel_times_refined.csv")
+    ap.add_argument("--q", type=float, default=None,
+                    help="constant quality factor; writes "
+                         "<prefix>_amplitude.csv with per-receiver t*, "
+                         "geometrical spreading and relative amplitude "
+                         "(models/amplitude.py)")
+    ap.add_argument("--freq", type=float, default=1.0,
+                    help="frequency (Hz) for the t* spectral decay")
     ap.add_argument("--cache-dir", default=None,
                     help="disk cache for built grids and packed stencils "
                          "(e.g. .cache, shared with bench.py)")
@@ -104,6 +112,18 @@ def main():
             np.savetxt(f"{args.out_prefix}_travel_times_refined.csv",
                        np.stack([degs, t_ref], axis=1), delimiter=",",
                        header="deg,refined_s", comments="")
+
+    if args.q is not None:
+        with timer.section("amplitude"):
+            v = getattr(prof, args.wave)
+            dd = np.minimum(degs, 360.0 - degs)   # mirrored fan side
+            Rg = rt.geometrical_spreading(dd, prof.r[::8], v[::8], n_p=8000)
+            ts = np.array([rt.tstar(np.stack([gr.x[p], gr.z[p]], axis=1),
+                                    prof.r, v, args.q) for p in paths])
+            amp = rt.attenuation_factor(ts, args.freq) / np.maximum(Rg, 1e-12)
+            np.savetxt(f"{args.out_prefix}_amplitude.csv",
+                       np.stack([degs, ts, Rg, amp], axis=1), delimiter=",",
+                       header="deg,tstar_s,spreading_km,rel_amp", comments="")
 
     print(timer.report())
     print(f"travel time at  60 deg: {tt[np.argmin(np.abs(degs - 60.0))]:.2f} s")
