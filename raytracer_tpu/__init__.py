@@ -13,6 +13,7 @@ from .models.annulus import (
     init_annulus,
     point_ids,
 )
+from .models.fast_annulus import init_annulus_circulant, wedge_annulus
 from .models.velocity import (
     LinearInterpolation,
     VelProfile,
@@ -66,6 +67,8 @@ __all__ = [
     "circle",
     "closest_point",
     "init_annulus",
+    "init_annulus_circulant",
+    "wedge_annulus",
     "point_ids",
     "LinearInterpolation",
     "VelProfile",

@@ -72,6 +72,21 @@ class Grid2D:
     e2n_off: Optional[np.ndarray] = None
     nbr_flat: Optional[np.ndarray] = None
     nbr_off: Optional[np.ndarray] = None
+    # column angular pitch.  None (the default) means the standard full
+    # annulus, dtheta = 2*pi/ntheta.  Periodic *wedge* meshes (the O(M)
+    # circulant fast path, models/fast_annulus.py) carry the FULL mesh's
+    # pitch here while spanning only ntheta_wedge columns.
+    dtheta: Optional[float] = None
+
+    @property
+    def dtheta_val(self) -> float:
+        return 2 * np.pi / self.ntheta if self.dtheta is None else self.dtheta
+
+    @property
+    def period(self) -> float:
+        """Angular period of the mesh (2*pi for a full annulus)."""
+        return (2 * np.pi if self.dtheta is None
+                else self.ntheta * self.dtheta)
 
     def __len__(self) -> int:
         return self.nnods
@@ -140,20 +155,27 @@ def _ragged_arange(counts: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
 
 
-def primary_grid(ntheta: int, nr: int, r_out: float = R) -> Grid2D:
+def primary_grid(ntheta: int, nr: int, r_out: float = R,
+                 dtheta: Optional[float] = None) -> Grid2D:
     """Primary polar lattice + core point (src/GridAnnulus.jl:72-142).
 
     The radial column is nr + 7 values: linspace(R_INNER, r_out, nr) merged
     with the 7 discontinuity radii, sorted ascending.  Nodes are laid out
     column-major in theta: node (it, ir) -> it * nr_tot + ir; the core
     centre point is the last node.
+
+    dtheta (default 2*pi/ntheta) overrides the column pitch; a non-default
+    value builds a periodic WEDGE spanning ntheta*dtheta radians — the
+    columns are geometrically identical to the first ntheta columns of the
+    full annulus with that pitch (the O(M) circulant builder's input).
     """
     rl = np.array(DISCONTINUITY_RADII, dtype=np.float64)
     nr_tot = nr + len(rl)
 
     nn = nr_tot * ntheta
     nels = (nr_tot - 1) * ntheta
-    dtheta = 2 * np.pi / ntheta
+    dtheta_in = dtheta
+    dtheta = 2 * np.pi / ntheta if dtheta is None else dtheta
 
     r_column = np.sort(np.concatenate([rl, np.linspace(R_INNER, r_out, nr_tot - len(rl))]))
 
@@ -196,6 +218,7 @@ def primary_grid(ntheta: int, nr: int, r_out: float = R) -> Grid2D:
         neighbours=_flat_to_ragged(nbr_flat, nbr_off), is_quad=is_quad,
         e2n_flat=e2n_flat, e2n_off=e2n_off,
         nbr_flat=nbr_flat, nbr_off=nbr_off,
+        dtheta=dtheta_in,
     )
 
 
@@ -348,18 +371,27 @@ def secondary_nodes(gr: Grid2D, spacing: float = 20.0, faithful: bool = False) -
         edges, e2el_flat, e2el_off = edge_connectivity_flat(gr)
     th, r = gr.theta, gr.r
     icenter = gr.nr * gr.ntheta  # core centre node id
-    eps = 2 * np.pi - (1 - 1 / gr.ntheta)  # seam-wrap threshold (ref :621)
+    period = gr.period
+    if gr.dtheta is None:
+        eps = 2 * np.pi - (1 - 1 / gr.ntheta)  # seam-wrap threshold (ref :621)
+    else:
+        # periodic wedge: regular edges span <= 1 column pitch, seam edges
+        # span (ntheta-1) pitches - any threshold in between detects them
+        eps = period - 1.5 * gr.dtheta_val
 
     th1, th2 = th[edges[:, 0]].copy(), th[edges[:, 1]].copy()
     r1, r2 = r[edges[:, 0]], r[edges[:, 1]]
 
-    # seam wrap fix + centre-edge collapse (src/GridAnnulus.jl:710-725)
+    # seam wrap fix + centre-edge collapse (src/GridAnnulus.jl:710-725);
+    # `th1 < th2` == the reference's `th1 < pi` test on a full annulus
+    # (a wrap pair always has one endpoint near 0 and one near 2*pi) and
+    # generalises to wedge periods
     has_center = (edges[:, 0] == icenter) | (edges[:, 1] == icenter)
     wrap = ~has_center & (np.abs(th1 - th2) >= eps)
-    shift1 = wrap & (th1 < np.pi)
-    shift2 = wrap & ~shift1 & (th2 < np.pi)
-    th1 = np.where(shift1, th1 + 2 * np.pi, th1)
-    th2 = np.where(shift2, th2 + 2 * np.pi, th2)
+    shift1 = wrap & (th1 < th2)
+    shift2 = wrap & ~shift1
+    th1 = np.where(shift1, th1 + period, th1)
+    th2 = np.where(shift2, th2 + period, th2)
     thmax = np.maximum(th1, th2)
     th1 = np.where(has_center, thmax, th1)
     th2 = np.where(has_center, thmax, th2)
@@ -412,6 +444,7 @@ def secondary_nodes(gr: Grid2D, spacing: float = 20.0, faithful: bool = False) -
         neighbours=gr.neighbours, is_quad=gr.is_quad,
         e2n_flat=flat_new, e2n_off=off_new,
         nbr_flat=gr.nbr_flat, nbr_off=gr.nbr_off,
+        dtheta=gr.dtheta,
     )
 
 
@@ -477,7 +510,7 @@ def discontinuous_boundaries(gr: Grid2D, spacing: float) -> Tuple[Grid2D, np.nda
     rl = np.array(DISCONTINUITY_RADII, dtype=np.float64)
     r = gr.r
     nnods = gr.nnods
-    dtheta = 2 * np.pi / gr.ntheta
+    dtheta = gr.dtheta_val
 
     # vectorised equivalent of the reference's sequential element scan:
     # twin ids are assigned in (element, node-position) order, which is
@@ -503,7 +536,7 @@ def discontinuous_boundaries(gr: Grid2D, spacing: float) -> Tuple[Grid2D, np.nda
     # column owning each twin = column of its theta; the creating
     # element's column distinguishes left/right twins of corner nodes
     elem_col = el_of_pos[pos_mask] // (gr.nr - 1)
-    node_col = np.floor(np.mod(gr.theta[idx], 2 * np.pi) / dtheta
+    node_col = np.floor(np.mod(gr.theta[idx], gr.period) / dtheta
                         + 1e-6).astype(np.int64) % gr.ntheta
     twin_cls = np.where(node_col == elem_col, 1, 2)
     th_twin = gr.theta[idx]
@@ -532,6 +565,7 @@ def discontinuous_boundaries(gr: Grid2D, spacing: float) -> Tuple[Grid2D, np.nda
         twin_class=twin_class,
         e2n_flat=gr.e2n_flat, e2n_off=gr.e2n_off,
         nbr_flat=gr.nbr_flat, nbr_off=gr.nbr_off,
+        dtheta=gr.dtheta,
     )
     return gr2, halo
 
@@ -597,7 +631,7 @@ def _node_adjacency_scipy(gr: Grid2D, star: int = 1) -> sp.csr_matrix:
 
 
 def init_annulus(ntheta: int, nr: int, spacing: float = 20.0, star: int = 1,
-                 faithful: bool = False):
+                 faithful: bool = False, dtheta: Optional[float] = None):
     """Build grid, adjacency and halo table (src/GridAnnulus.jl:57-70).
 
     Returns (gr, A, halo): the grid, the node-adjacency CSR matrix (the
@@ -608,8 +642,12 @@ def init_annulus(ntheta: int, nr: int, spacing: float = 20.0, star: int = 1,
     nodes (see edge_connectivity_faithful) for mesh-vs-mesh accuracy
     comparisons against the Julia CPU output; default False builds the
     intended deduplicated graph of the same physical task.
+
+    dtheta != None builds a periodic WEDGE of ntheta columns at the given
+    pitch (see primary_grid) - the O(M) circulant builder's substrate
+    (models/fast_annulus.py); normal callers leave it None.
     """
-    gr = primary_grid(ntheta, nr, R)
+    gr = primary_grid(ntheta, nr, R, dtheta=dtheta)
     gr = secondary_nodes(gr, spacing=spacing, faithful=faithful)
     constrain2layers(gr)
     gr, halo = discontinuous_boundaries(gr, spacing)

@@ -69,10 +69,11 @@ def column_map(gr) -> ColumnMap:
     nt = gr.ntheta
     if nt < 3:
         raise CirculantError(f"mesh has no theta-column structure (ntheta={nt})")
-    dtheta = 2 * np.pi / nt
+    dtheta = getattr(gr, "dtheta_val", None) or (2 * np.pi / nt)
+    period = getattr(gr, "period", None) or (2 * np.pi)
     center = int(np.flatnonzero((gr.r == 0.0))[0]) if (gr.r == 0.0).any() else -1
 
-    th = np.mod(gr.theta, 2 * np.pi)
+    th = np.mod(gr.theta, period)
     c_of = (np.floor(th / dtheta + 1e-6).astype(np.int64)) % nt
     thfrac = th - c_of * dtheta
     cls = gr.twin_class if gr.twin_class is not None else np.zeros(gr.nnods, np.int8)
@@ -142,10 +143,27 @@ def csr_edge_weights(gr, rows: np.ndarray, cols: np.ndarray, U: np.ndarray) -> n
 
     Scalar U: harmonic mean (src/SSSP/bfm.jl:185); dual (n,2) U: branch-free
     head/tail above/below pick (src/SSSP/bfm.jl:134-146).
+
+    Periodic WEDGE meshes (gr.dtheta set, models/fast_annulus.py) are only
+    combinatorially periodic: their seam edges span nearly the whole wedge
+    angle in the flat embedding, so the chord of seam-crossing edges
+    (|dtheta| > period/2) is recomputed with the source endpoint shifted by
+    one period onto the near side - the geometry the corresponding full-
+    annulus edge has.
     """
+    from ..utils.coords import polar2cartesian
     from .weights import _safe_weight
 
     L = np.sqrt((gr.x[rows] - gr.x[cols]) ** 2 + (gr.z[rows] - gr.z[cols]) ** 2)
+    if getattr(gr, "dtheta", None) is not None:
+        period = gr.period
+        d = gr.theta[rows] - gr.theta[cols]
+        flag = np.abs(d) > period / 2
+        if flag.any():
+            sh = np.where(d[flag] > 0, period, -period)
+            xc, zc = polar2cartesian(gr.theta[cols[flag]] + sh, gr.r[cols[flag]])
+            L[flag] = np.sqrt((gr.x[rows[flag]] - xc) ** 2
+                              + (gr.z[rows[flag]] - zc) ** 2)
     U = np.asarray(U)
     if U.ndim == 1:
         usum = U[rows] + U[cols]

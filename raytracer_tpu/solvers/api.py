@@ -71,19 +71,26 @@ class AnnulusSolver:
     def __init__(
         self,
         gr,
-        A: sp.csr_matrix,
-        halo: np.ndarray,
+        A: Optional[sp.csr_matrix],
+        halo: Optional[np.ndarray],
         U: np.ndarray,
         config: SolverConfig = DEFAULT_SOLVER_CONFIG,
         method: str = "auto",
         cache_dir: Optional[str] = None,
+        circulant: Optional[CirculantGraph] = None,
     ):
+        """Pass `circulant=` a prebuilt CirculantGraph (e.g. from the O(M)
+        fast builder, models/fast_annulus.py::init_annulus_circulant) to
+        skip the extraction; A and halo may then be None (the stencil
+        already encodes the graph; host-side PrevRecovery is unavailable,
+        the device recovery is used instead)."""
         self.gr = gr
         self.A = A
-        self.halo = np.asarray(halo)
+        self.halo = (np.asarray(halo) if halo is not None
+                     else np.empty((0, 2), np.int64))
         self.U = np.asarray(U)
         self.config = config
-        self.circulant: Optional[CirculantGraph] = None
+        self.circulant: Optional[CirculantGraph] = circulant
         self.ell = None
         self.last_iterations: Optional[int] = None
 
@@ -116,10 +123,16 @@ class AnnulusSolver:
         self._interpret_cached = None
 
         dtype = np.dtype(config.dtype)
+        if circulant is not None and method in ("ell", "banded"):
+            raise ValueError(
+                f"method={method!r} needs the materialised graph; a prebuilt "
+                "circulant stencil only serves the circulant-family methods")
         if method in ("twrapped", "sweep", "stream", "wrapped", "diag",
                       "pallas", "circulant", "fused"):
             try:
-                if cache_dir is not None:
+                if self.circulant is not None:
+                    pass  # prebuilt (fast builder) - skip extraction
+                elif cache_dir is not None:
                     from ..utils.cache import build_circulant_cached
 
                     self.circulant = build_circulant_cached(gr, A, halo, U, dtype, cache_dir)
