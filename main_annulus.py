@@ -104,26 +104,53 @@ def main():
         if args.plot:
             rt.plot_paths(gr, paths, source, receivers, fname=f"{args.out_prefix}_ray_paths.png")
 
+    pts_bent = None
     if args.refine:
         with timer.section("bending refinement"):
             pts = [np.stack([gr.x[p], gr.z[p]], axis=1) for p in paths]
-            _, t_ref = rt.refine_paths_batch(pts, prof.r,
-                                             getattr(prof, args.wave))
+            pts_bent, t_ref = rt.refine_paths_batch(pts, prof.r,
+                                                    getattr(prof, args.wave))
             np.savetxt(f"{args.out_prefix}_travel_times_refined.csv",
                        np.stack([degs, t_ref], axis=1), delimiter=",",
                        header="deg,refined_s", comments="")
 
     if args.q is not None:
         with timer.section("amplitude"):
+            from raytracer_tpu.models.flatearth import RadialModel, cmb_radius
+
             v = getattr(prof, args.wave)
             dd = np.minimum(degs, 360.0 - degs)   # mirrored fan side
-            Rg = rt.geometrical_spreading(dd, prof.r[::8], v[::8], n_p=8000)
-            ts = np.array([rt.tstar(np.stack([gr.x[p], gr.z[p]], axis=1),
-                                    prof.r, v, args.q) for p in paths])
-            amp = rt.attenuation_factor(ts, args.freq) / np.maximum(Rg, 1e-12)
-            np.savetxt(f"{args.out_prefix}_amplitude.csv",
-                       np.stack([degs, ts, Rg, amp], axis=1), delimiter=",",
-                       header="deg,tstar_s,spreading_km,rel_amp", comments="")
+            # analytic piecewise-linear branch derivative (full-resolution
+            # table; no subsample, no argmin quantisation - ADVICE r03 1+3)
+            mdl = RadialModel(prof.r, v)
+            Rg = mdl.spreading(dd, n_p=8000,
+                               diff_radii=(cmb_radius(args.model),))
+            # t* along the bent polylines when --refine produced them, so
+            # the amplitude CSV and the refined CSV share one geometry
+            # (ADVICE r03 item 4); raw SPM backtraces otherwise
+            if pts_bent is not None:
+                polylines = list(pts_bent)
+            else:
+                polylines = [np.stack([gr.x[p], gr.z[p]], axis=1)
+                             for p in paths]
+            ts = np.array([rt.tstar(pl, prof.r, v, args.q)
+                           for pl in polylines])
+            # interface-diffracted first arrivals (core shadow) have no
+            # ray-theory spreading: emit NaN + valid=0 instead of inf/0.0
+            # (ADVICE r03 item 2)
+            valid = np.isfinite(Rg)
+            amp = np.where(valid,
+                           rt.attenuation_factor(ts, args.freq)
+                           / np.where(valid, Rg, 1.0), np.nan)
+            Rg_out = np.where(valid, Rg, np.nan)
+            np.savetxt(
+                f"{args.out_prefix}_amplitude.csv",
+                np.stack([degs, ts, Rg_out, amp, valid.astype(float)],
+                         axis=1), delimiter=",",
+                header="deg,tstar_s,spreading_km,rel_amp,valid\n"
+                       "# spreading/rel_amp are NaN with valid=0 where the "
+                       "first arrival is interface-diffracted (core shadow)",
+                comments="")
 
     print(timer.report())
     print(f"travel time at  60 deg: {tt[np.argmin(np.abs(degs - 60.0))]:.2f} s")

@@ -34,6 +34,8 @@ from .models.partition import GridPartition, find_layer_number, level_mask, part
 from .models.amplitude import (ak135_spreading, amplitude_factor,
                                attenuation_factor, geometrical_spreading,
                                tstar)
+from .models.flatearth import RadialModel, cmb_radius
+from .models.iasp91 import generate_iasp91_table, iasp91_velocity
 from .models.interpolation import bilinear, barycentric_coordinates, interpolate_elementwise
 from .ops.relax import DeviceGraph
 from .ops.circulant import CirculantError, CirculantGraph, build_circulant, solve_circulant
@@ -121,6 +123,10 @@ __all__ = [
     "geometrical_spreading",
     "ak135_spreading",
     "amplitude_factor",
+    "RadialModel",
+    "cmb_radius",
+    "iasp91_velocity",
+    "generate_iasp91_table",
     "recontruct_path",
     "reconstruct_path",
     "takeoff_angle",

@@ -119,8 +119,20 @@ def geometrical_spreading(delta_deg, profile_r, profile_v,
 
 
 def ak135_spreading(delta_deg, model: str = "ak135", wave: str = "Vp",
-                    shell_km: int = 4, n_p: int = 20000) -> np.ndarray:
-    """Convenience: R(Delta) for the vendored AK135/IASP91 tables."""
+                    shell_km: int = None, n_p: int = 8000) -> np.ndarray:
+    """Convenience: R(Delta) for the vendored AK135/IASP91 tables.
+
+    Default engine (shell_km=None) differentiates the ANALYTIC
+    piecewise-linear branch delta(p) (models/flatearth.py) -- smooth in
+    p, no argmin quantisation (ADVICE r03 item 3) -- and returns inf
+    where the first arrival is CMB-diffracted (core shadow).  Pass an
+    integer shell_km for the legacy constant-shell estimate.
+    """
+    if shell_km is None:
+        from .flatearth import cmb_radius, table_model
+
+        return table_model(model, wave).spreading(
+            delta_deg, n_p=n_p, diff_radii=(cmb_radius(model),))
     from .velocity import velocity_profile
 
     prof = velocity_profile(model)

@@ -147,10 +147,21 @@ def reflected_arrival(delta_deg, profile_r: np.ndarray,
 
 
 def ak135_reflected(delta_deg, r_reflect: float, model: str = "ak135",
-                    wave: str = "Vp", shell_km: int = 4,
-                    n_p: int = 20000) -> np.ndarray:
+                    wave: str = "Vp", shell_km: int = None,
+                    n_p: int = 8000) -> np.ndarray:
     """Reflected-branch times for the vendored AK135/IASP91 tables
-    (e.g. r_reflect = R - 2891.5 for PcP / ScS)."""
+    (e.g. r_reflect = R - 2891.5 for PcP / ScS).
+
+    Default engine (shell_km=None) is the piecewise-linear flattened
+    model (models/flatearth.py, self-error < 0.02 s); pass an integer
+    shell_km to fall back to the legacy constant-shell integrals on a
+    `shell_km`-decimated table (~0.5-1 s self-error).
+    """
+    if shell_km is None:
+        from .flatearth import table_model
+
+        return table_model(model, wave).reflected(delta_deg, r_reflect,
+                                                  n_p=n_p)
     from .velocity import velocity_profile
 
     prof = velocity_profile(model)
@@ -161,16 +172,27 @@ def ak135_reflected(delta_deg, r_reflect: float, model: str = "ak135",
 
 
 def ak135_first_arrivals(delta_deg, model: str = "ak135", wave: str = "Vp",
-                         shell_km: int = 4, n_p: int = 4000) -> np.ndarray:
+                         shell_km: int = None, n_p: int = 6000,
+                         return_p: bool = False):
     """Convenience: first arrivals for the vendored AK135/IASP91 tables.
 
-    The 1-km table is resampled to `shell_km` shells (the analytic
-    per-shell integrals make the remaining discretisation error ~1 s,
-    far below the SPM grid error this anchors).
+    Default engine (shell_km=None) is the piecewise-linear flattened
+    model (models/flatearth.py): exact analytic layer integrals on the
+    full 1-km table, CMB-diffraction extension included, self-error
+    < 0.02 s (tests/test_flatearth.py knot-halving).  Pass an integer
+    shell_km for the legacy constant-shell engine on a decimated table.
     """
+    if shell_km is None:
+        from .flatearth import cmb_radius, table_model
+
+        m = table_model(model, wave)
+        return m.first_arrival(delta_deg, n_p=n_p,
+                               diff_radii=(cmb_radius(model),),
+                               return_p=return_p)
     from .velocity import velocity_profile
 
     prof = velocity_profile(model)
     v = getattr(prof, wave if wave in ("Vp", "Vs") else "Vp")
     step = max(int(shell_km), 1)
-    return first_arrival(delta_deg, prof.r[::step], v[::step], n_p=n_p)
+    return first_arrival(delta_deg, prof.r[::step], v[::step], n_p=n_p,
+                         return_p=return_p)

@@ -15,6 +15,15 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
+# Persistent on-disk compilation cache, shared by the xdist workers of a
+# suite run (see run_tests.sh): repeated shapes compile once per run, not
+# once per worker, and re-runs on the same machine skip compilation
+# entirely.  Local to this machine (.cache is gitignored).
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".cache", "jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 

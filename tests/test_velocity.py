@@ -19,9 +19,12 @@ def test_profile_loads_and_is_ascending():
 
 
 def test_iasp91_loads():
-    # NOTE: the reference repo ships byte-identical tables for AK135 and
-    # IASP91 (VelocityProfiles/R_Vp_Vs_IASP91.txt is a copy of the AK135
-    # file); we vendor them as-is, so only loadability is asserted here.
+    # The reference ships byte-identical tables for AK135 and IASP91 --
+    # and round 4 established BOTH are IASP91-polynomial-generated (the
+    # "AK135" label is the reference's data bug; see models/iasp91.py).
+    # data/R_Vp_Vs_IASP91.txt is now regenerated from the published
+    # polynomials; numerical equality of the two models is asserted in
+    # tests/test_iasp91.py.
     b = rt.velocity_profile("iasp91")
     assert b.r[-1] == rt.R
     assert np.all(b.Vp > 0)
