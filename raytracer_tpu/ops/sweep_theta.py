@@ -302,13 +302,18 @@ def _col_relax(cur, w0, d0, cfp, cbp, chain_spans):
 
 
 def _sweep(v, tbl: SweepTables, st: SweepStatic, reverse: bool,
-           col_relax: bool = True):
+           col_relax: bool = True, carry_init=None):
     """One directional Gauss-Seidel sweep over theta columns.
 
     v: (S, nt, ML).  Forward applies the dc=-1,-2 taps (source column
     already updated this sweep); backward the dc=+1,+2 taps.
     col_relax=False drops the in-column work (the kernel-friendly
     variant: full-field ring/chain scans run between sweeps instead).
+    carry_init optionally injects the two predecessor columns the scan
+    starts from -- ((S, ML) at distance 1, (S, ML) at distance 2) in
+    processing order; default is this field's own wrap columns (plain
+    Gauss-Seidel staleness).  The theta-sharded solver passes its
+    neighbour block's halo columns here (parallel/theta_shard.py).
     """
     g = _DC_RANGE  # index of dc=0 in the group tuples
     if reverse:
@@ -336,7 +341,9 @@ def _sweep(v, tbl: SweepTables, st: SweepStatic, reverse: bool,
 
     # wrap carry: previous sweep's values of the last two columns in
     # processing order (plain Gauss-Seidel staleness)
-    (_, _), ys = jax.lax.scan(step, (xs[-1], xs[-2]), xs)
+    if carry_init is None:
+        carry_init = (xs[-1], xs[-2])
+    (_, _), ys = jax.lax.scan(step, carry_init, xs)
     if reverse:
         ys = jnp.flip(ys, 0)
     return jnp.swapaxes(ys, 0, 1)

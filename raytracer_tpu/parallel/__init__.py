@@ -1,4 +1,12 @@
-"""Multi-chip sharding: source-batch parallelism over a device mesh."""
+"""Multi-chip sharding: source-batch AND grid-axis parallelism.
+
+Two orthogonal scaling axes over a 1-D device mesh:
+  * source batch (multisource.py) -- embarrassingly parallel tables,
+    zero collectives inside the relaxation loops;
+  * grid theta axis (theta_shard.py) -- domain decomposition with a
+    +-2-column ppermute halo per Gauss-Seidel round, for fields beyond
+    one chip's HBM.
+"""
 from .mesh import SOURCE_AXIS, make_mesh, pad_sources, replicated, source_sharding
 from .multisource import (
     solve_sharded,
@@ -9,3 +17,4 @@ from .multisource import (
     travel_time_table_sweep,
     travel_time_table_twrapped,
 )
+from .theta_shard import THETA_AXIS, make_theta_mesh, solve_sweep_theta_sharded
