@@ -143,13 +143,21 @@ def main():
                            rt.attenuation_factor(ts, args.freq)
                            / np.where(valid, Rg, 1.0), np.nan)
             Rg_out = np.where(valid, Rg, np.nan)
+            # PcP/P amplitude ratio: spreading ratio x CMB Zoeppritz
+            # reflection (PREM densities) x t* ratio (models/zoeppritz.py)
+            from raytracer_tpu.models.zoeppritz import pcp_p_amplitude_ratio
+
+            pcp_ratio = pcp_p_amplitude_ratio(dd, model=args.model,
+                                              q_factor=args.q,
+                                              freq_hz=args.freq)
             np.savetxt(
                 f"{args.out_prefix}_amplitude.csv",
-                np.stack([degs, ts, Rg_out, amp, valid.astype(float)],
-                         axis=1), delimiter=",",
-                header="deg,tstar_s,spreading_km,rel_amp,valid\n"
+                np.stack([degs, ts, Rg_out, amp, pcp_ratio,
+                          valid.astype(float)], axis=1), delimiter=",",
+                header="deg,tstar_s,spreading_km,rel_amp,pcp_p_ratio,valid\n"
                        "# spreading/rel_amp are NaN with valid=0 where the "
-                       "first arrival is interface-diffracted (core shadow)",
+                       "first arrival is interface-diffracted (core shadow); "
+                       "pcp_p_ratio is NaN beyond the PcP branch",
                 comments="")
 
     print(timer.report())

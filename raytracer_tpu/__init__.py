@@ -36,6 +36,10 @@ from .models.amplitude import (ak135_spreading, amplitude_factor,
                                tstar)
 from .models.flatearth import RadialModel, cmb_radius
 from .models.iasp91 import generate_iasp91_table, iasp91_velocity
+from .models.zoeppritz import (Medium, energy_coefficients,
+                               free_surface_receiver, interface_media,
+                               pcp_p_amplitude_ratio, prem_density,
+                               scattering)
 from .models.interpolation import bilinear, barycentric_coordinates, interpolate_elementwise
 from .ops.relax import DeviceGraph
 from .ops.circulant import CirculantError, CirculantGraph, build_circulant, solve_circulant
@@ -127,6 +131,13 @@ __all__ = [
     "cmb_radius",
     "iasp91_velocity",
     "generate_iasp91_table",
+    "Medium",
+    "scattering",
+    "energy_coefficients",
+    "free_surface_receiver",
+    "interface_media",
+    "prem_density",
+    "pcp_p_amplitude_ratio",
     "recontruct_path",
     "reconstruct_path",
     "takeoff_angle",
