@@ -29,7 +29,9 @@ from .models.grid3d import (
     grid3d,
     lazy_grid3d,
     nodal_incidence3d,
+    velocity3d,
 )
+from .models.velocity import table_interface_radii
 from .models.partition import GridPartition, find_layer_number, level_mask, partition_grid
 from .models.amplitude import (ak135_spreading, amplitude_factor,
                                attenuation_factor, geometrical_spreading,
@@ -45,6 +47,7 @@ from .ops.relax import DeviceGraph
 from .ops.circulant import CirculantError, CirculantGraph, build_circulant, solve_circulant
 from .solvers.api import AnnulusSolver
 from .solvers.bfm import bfm, bfm3d, bfm_gpu, bfm_tpu, prepare, solve, solve_many
+from .solvers.solve3d import mask_region3d, solve3d, solve3d_reflection
 from .solvers.multiphase import bfm_ms, bfm_multiphase, boundary_velocity, directions
 from .solvers.phases import phase_travel_times, reflected_travel_times
 from .solvers.dijkstra import weight_matrix, weights
@@ -102,6 +105,11 @@ __all__ = [
     "barycentric_coordinates",
     "interpolate_elementwise",
     "bfm3d",
+    "solve3d",
+    "solve3d_reflection",
+    "mask_region3d",
+    "velocity3d",
+    "table_interface_radii",
     "bfm_ms",
     "bfm_multiphase",
     "phase_travel_times",

@@ -32,8 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import DEFAULT_SOLVER_CONFIG, SolverConfig
-from .circulant import CirculantGraph, _DC_RANGE
-from .pallas_circulant import TiledStencil, pack_tiled_stencil, LANES
+from ..ops.circulant import CirculantGraph, _DC_RANGE
+from .pallas_circulant import TiledStencil, pack_tiled_stencil, LANES  # noqa: F401
 
 RING_STEPS = 8    # theta shifts 1..128 columns per iteration
 CHAIN_STEPS = 7   # slot shifts 1..64 (within the adjacent lane tile)

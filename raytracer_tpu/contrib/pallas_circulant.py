@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import DEFAULT_SOLVER_CONFIG, SolverConfig
-from .circulant import CirculantGraph, _DC_RANGE
+from ..ops.circulant import CirculantGraph, _DC_RANGE
 
 LANES = 128
 

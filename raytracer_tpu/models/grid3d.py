@@ -24,6 +24,13 @@ class Grid3D:
 
     Node (i, j, k) -> flat id i + j*n0 + k*n0*n1 (theta fastest), matching
     the reference layout (src/StructuredGrid.jl:96-101).
+
+    forced_radii records velocity-discontinuity radii baked into r_ax by
+    `grid3d(force_radii=...)`: each appears as TWO adjacent r levels
+    (r_d - twin_offset carrying the below-side velocity, r_d the above
+    side) -- the lattice-preserving equivalent of the 2-D annulus' twin
+    node doubling + halo (models/annulus.py, reference
+    src/GridAnnulus.jl:910-968).  See `velocity3d`.
     """
 
     c0: Tuple[float, float, float]
@@ -38,6 +45,8 @@ class Grid3D:
     x: np.ndarray
     y: np.ndarray
     z: np.ndarray
+    forced_radii: Tuple[float, ...] = ()
+    twin_offset: float = 0.05
 
     @property
     def nels(self) -> Tuple[int, int, int]:
@@ -79,21 +88,75 @@ class LazyGrid3D:
         return int(np.prod(self.nnods))
 
 
-def grid3d(c0, c1, nnods) -> Grid3D:
-    """Eager spherical-shell grid (src/StructuredGrid.jl:35-45)."""
+def grid3d(c0, c1, nnods, force_radii=None, twin_offset: float = None) -> Grid3D:
+    """Eager spherical-shell grid (src/StructuredGrid.jl:35-45).
+
+    force_radii: velocity-discontinuity radii (km) to bake into the
+    radial axis -- the 3-D equivalent of the 2-D mesher forcing the AK135
+    discontinuities into the r column (src/GridAnnulus.jl:73-86) PLUS its
+    twin doubling: for each such radius strictly inside the box, the
+    nearest interior r level snaps onto it and an extra level is inserted
+    at r - twin_offset, so the interface is represented by two adjacent
+    levels that `velocity3d` assigns the above/below velocities.  The
+    regular (theta, phi, r) lattice -- and with it the whole dense
+    26-shift TPU solve -- is preserved; only the axis becomes non-uniform
+    (the shifted-weight build uses true coordinates, so nothing else
+    changes).  Crossing the interface costs the twin-gap traversal
+    (~twin_offset / v ~ 5 ms), the dense analogue of the 2-D halo's
+    zero-cost twin merge.
+    """
+    from ..config import TWIN_OFFSET
+
+    off = TWIN_OFFSET if twin_offset is None else float(twin_offset)
     th_ax = np.linspace(c0[0], c1[0], nnods[0])
     ph_ax = np.linspace(c0[1], c1[1], nnods[1])
     r_ax = np.linspace(c0[2], c1[2], nnods[2])
+    forced = []
+    if force_radii:
+        dr = r_ax[1] - r_ax[0] if len(r_ax) > 1 else 0.0
+        for rd in sorted(force_radii):
+            rd = float(rd)
+            if not (c0[2] + 0.5 * dr < rd < c1[2] - 0.25 * dr):
+                continue
+            # snap the nearest interior level, then insert the twin below
+            k = int(np.argmin(np.abs(r_ax - rd)))
+            k = min(max(k, 1), len(r_ax) - 2)
+            r_ax[k] = rd
+            r_ax = np.insert(r_ax, k, rd - off)
+            forced.append(rd)
+        r_ax = np.unique(r_ax)
+    nn = (int(nnods[0]), int(nnods[1]), int(len(r_ax)))
     # flat layout: theta fastest, then phi, then r
-    TH = np.tile(th_ax, nnods[1] * nnods[2])
-    PH = np.tile(np.repeat(ph_ax, nnods[0]), nnods[2])
-    RR = np.repeat(r_ax, nnods[0] * nnods[1])
+    TH = np.tile(th_ax, nn[1] * nn[2])
+    PH = np.tile(np.repeat(ph_ax, nn[0]), nn[2])
+    RR = np.repeat(r_ax, nn[0] * nn[1])
     x, y, z = spherical2cart(TH, PH, RR)
     return Grid3D(
-        c0=tuple(c0), c1=tuple(c1), nnods=tuple(nnods),
+        c0=tuple(c0), c1=tuple(c1), nnods=nn,
         theta_ax=th_ax, phi_ax=ph_ax, r_ax=r_ax,
         theta=TH, phi=PH, r=RR, x=x, y=y, z=z,
+        forced_radii=tuple(forced), twin_offset=off,
     )
+
+
+def velocity3d(gr: Grid3D, interpolant, buffer: float = None) -> np.ndarray:
+    """Side-aware velocity sampling for a discontinuity-forced 3-D grid.
+
+    Levels exactly ON a forced radius take the velocity `buffer` km ABOVE
+    it; their twin levels (r_d - twin_offset) take `buffer` km BELOW --
+    the 3-D counterpart of the 2-D dual_velocity semantics
+    (src/ShortestPath.jl:97-112) that keeps each side of an interface at
+    its own velocity instead of the 1-km table smear.  Away from forced
+    radii this is plain interpolation.
+    """
+    from ..config import VELOCITY_BUFFER
+
+    buf = VELOCITY_BUFFER if buffer is None else float(buffer)
+    U = np.asarray(interpolant(gr.r), dtype=np.float64)
+    for rd in gr.forced_radii:
+        U = np.where(gr.r == rd, interpolant(rd + buf), U)
+        U = np.where(gr.r == rd - gr.twin_offset, interpolant(rd - buf), U)
+    return U
 
 
 def lazy_grid3d(c0, c1, nnods) -> LazyGrid3D:

@@ -2,7 +2,7 @@
 
 Second-generation replacement for the reference's CUDA relaxation kernels
 (src/SSSP/bfm_gpu.jl:487-526), superseding the lane-gather kernel of
-ops/pallas_circulant.py on the hot path.
+contrib/pallas_circulant.py on the hot path.
 
 Key structural fact (measured on the real 180x63 stencil): the circulant
 stencil is *diagonal-banded*.  Writing each edge as
@@ -286,7 +286,7 @@ def _ring_scan(dist: jax.Array, ring_f: jax.Array, ring_b: jax.Array, nt: int) -
 
     Uniform per-hop cost along each ring (rotational symmetry), so the
     circular scan has a closed form in cumulative minima; see
-    ops/pallas_circulant._ring_scan for the derivation.  dist (Mp, NTL).
+    contrib/pallas_circulant._ring_scan for the derivation.  dist (Mp, NTL).
     """
     body = dist[:, :nt]
     j = jnp.arange(nt, dtype=dist.dtype)[None, :]

@@ -20,7 +20,7 @@ from ..ops.circulant import (
     build_circulant,
     solve_circulant,
 )
-from ..ops.pallas_circulant import solve_circulant_pallas
+
 from . import bfm as _bfm
 from .types import BellmanFordMoore
 
@@ -291,7 +291,7 @@ class AnnulusSolver:
 
     def _dist_batch_full(self, sources: Sequence[int]) -> np.ndarray:
         if self._method == "fused":
-            from ..ops.fused_circulant import solve_circulant_fused
+            from ..contrib.fused_circulant import solve_circulant_fused
 
             dist, iters = solve_circulant_fused(self.circulant, sources, self.config)
             self.last_iterations = iters
@@ -310,6 +310,8 @@ class AnnulusSolver:
             self.last_iterations = iters
             return dist
         if self._method == "pallas":
+            from ..contrib.pallas_circulant import solve_circulant_pallas
+
             dist, iters = solve_circulant_pallas(self.circulant, sources,
                                                  self.config,
                                                  interpret=self._interpret)

@@ -50,7 +50,7 @@ def run_on_chip():
     from raytracer_tpu.config import R, SolverConfig
     from raytracer_tpu.ops.circulant import solve_circulant
     from raytracer_tpu.ops.diag_circulant import solve_circulant_diag
-    from raytracer_tpu.ops.pallas_circulant import solve_circulant_pallas
+    from raytracer_tpu.contrib.pallas_circulant import solve_circulant_pallas
 
     from raytracer_tpu.ops.diag_wrapped import solve_circulant_wrapped
     from raytracer_tpu.ops.wrapped_t import solve_circulant_twrapped
