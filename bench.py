@@ -47,7 +47,18 @@ def _setup_jax():
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # 0.25 s threshold: under the axon tunnel even trivial reshapes cost
+    # ~0.4 s per remote compile, and they re-trigger every process - cache
+    # them too (round-4 cache probe, PERF_NOTES.md)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.25)
+
+
+def _cache_entries() -> int:
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        return len(os.listdir(cache_dir))
+    except OSError:
+        return 0
 
 
 def _build(method):
@@ -100,9 +111,14 @@ def _measure(solver, source, reps=5):
 def probe(method):
     """Subprocess entry: measure one solver path, print one JSON line."""
     _setup_jax()
+    n_before = _cache_entries()
     rt, gr, solver, source, rec60 = _build(method)
     compile_s, t_single, D = _measure(solver, source)
-    log(f"{method} compile {compile_s:.1f}s, solve {t_single*1e3:.0f} ms, "
+    n_after = _cache_entries()
+    status = ("HIT" if n_after == n_before else
+              f"MISS(+{n_after - n_before} entries)")
+    log(f"{method} compile {compile_s:.1f}s [persistent cache {status}, "
+        f"{n_after} entries], solve {t_single*1e3:.0f} ms, "
         f"iters={solver.last_iterations}")
     try:
         degs = np.linspace(0.0, 175.0, 8)

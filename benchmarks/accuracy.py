@@ -261,8 +261,12 @@ def refine_errors(ntheta=180, nr=63, spacing=20.0):
         spm.append(float(dist[rec]))
     prof = rt.velocity_profile("ak135")
     t0 = time.time()
+    # m=384/quad=16: at m=192 the bending time functional's quadrature
+    # UNDERSHOOTS the continuous minimum by up to 0.8 s, visible now
+    # that the anchor is <0.05 s (flatearth engine); at this density the
+    # residuals sit within +-0.21 s (round-4 attribution experiment)
     _, t_ref = rt.refine_paths_batch(paths, prof.r, prof.Vp,
-                                     m=192, iters=1200)
+                                     m=384, iters=1600, quad=16)
     log(f"  batch bend ({len(paths)} paths): {time.time()-t0:.0f}s")
     anchors = ak135_first_arrivals(snap)
     return [(float(d), spm[i], float(t_ref[i]), float(anchors[i]))
@@ -351,11 +355,11 @@ def write_report(mvm, conv, path="ACCURACY.md", digests=None, pcp=None,
             "functional + optax Adam, endpoints pinned, r <= R projection;",
             "a whole receiver fan refines in one vmapped dispatch).  The",
             "reference ships the raw SPM bias (its error.png); refined",
-            "times cut it ~5x in mean and to ~1 s worst-case on the SAME",
-            "grid (180x63, spacing 20, AK135, anchors at the snapped",
-            "receiver angles):",
+            "times cut it to sub-0.25 s on the SAME grid (180x63,",
+            "spacing 20, AK135, anchors at the snapped receiver angles;",
+            "anchor = the <0.05 s flatearth engine, section 2g):",
             "",
-            "| deg | SPM (s) | refined (s) | ray theory (s) | SPM err | refined err |",
+            "| deg | SPM (s) | refined (s) | anchor (s) | SPM err | refined err |",
             "|---|---|---|---|---|---|",
         ]
         for d, s, r, a in refine:
@@ -366,9 +370,10 @@ def write_report(mvm, conv, path="ACCURACY.md", digests=None, pcp=None,
             f"Mean bias: SPM {np.mean(spm_err):+.2f} s -> refined "
             f"{np.mean(ref_err):+.2f} s; max |err|: "
             f"{np.max(np.abs(spm_err)):.2f} -> "
-            f"{np.max(np.abs(ref_err)):.2f} s.  The residual is bounded by",
-            "the anchor's own ~0.5-1 s shell-integral error",
-            "(models/raytheory.py), not by the bending.",
+            f"{np.max(np.abs(ref_err)):.2f} s.  The residual is the",
+            "bending functional's own m/quad discretisation (round-4",
+            "attribution: denser sampling pushes it non-negative),",
+            "measured against the <0.05 s flatearth anchor.",
             "",
         ]
     if digests:
