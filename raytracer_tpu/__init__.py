@@ -51,7 +51,9 @@ from .solvers.solve3d import mask_region3d, solve3d, solve3d_reflection
 from .solvers.multiphase import bfm_ms, bfm_multiphase, boundary_velocity, directions
 from .solvers.phases import phase_travel_times, reflected_travel_times
 from .solvers.dijkstra import weight_matrix, weights
-from .models.delaunay import add_midpoints, triangle_annulus_2d
+from .models.delaunay import (add_midpoints, structured_convex_hull,
+                              triangle_annulus_2d,
+                              unstructured_constrained_domain)
 from .solvers.dijkstra import dijkstra
 from .solvers.radius_stepping import radius_stepping
 from .solvers.path import (backtrace_paths, ray_parameters,
@@ -120,6 +122,8 @@ __all__ = [
     "weights",
     "add_midpoints",
     "triangle_annulus_2d",
+    "structured_convex_hull",
+    "unstructured_constrained_domain",
     "bfm",
     "bfm_gpu",
     "bfm_tpu",
