@@ -5,7 +5,9 @@ Two orthogonal scaling axes over a 1-D device mesh:
     zero collectives inside the relaxation loops;
   * grid theta axis (theta_shard.py) -- domain decomposition with a
     +-2-column ppermute halo per Gauss-Seidel round, for fields beyond
-    one chip's HBM.
+    one chip's HBM;
+  * 3-D grid slabs (shard3d.py) -- the same domain decomposition for the
+    structured 3-D box (+-1-plane halo per triaxial sweep round).
 """
 from .mesh import SOURCE_AXIS, make_mesh, pad_sources, replicated, source_sharding
 from .multisource import (
@@ -18,3 +20,4 @@ from .multisource import (
     travel_time_table_twrapped,
 )
 from .theta_shard import THETA_AXIS, make_theta_mesh, solve_sweep_theta_sharded
+from .shard3d import SHARD3D_AXIS, make_shard3d_mesh, solve3d_sharded

@@ -130,7 +130,7 @@ def _sweep_layout3d(W, scan_costs, axis: int):
     return (xs_W,) + tuple(xs_c)
 
 
-def _plane_sweep3d(d, layout, axis: int, down: bool):
+def _plane_sweep3d(d, layout, axis: int, down: bool, carry_init=None):
     """One Gauss-Seidel plane sweep along `axis` (directional sweeping).
 
     Planes are processed sequentially (a lax.scan over the axis,
@@ -143,7 +143,11 @@ def _plane_sweep3d(d, layout, axis: int, down: bool):
     Every candidate is a real path cost, so the SSSP fixpoint is that of
     the Jacobi engines.  The fast-sweeping analog of ops/sweep_theta.py
     for the structured 3-D grid (reference workload:
-    src/Dijsktra.jl:196-292)."""
+    src/Dijsktra.jl:196-292).
+
+    carry_init seeds the scan carry (the plane "before" the first one
+    processed) -- +inf when None (the box face); the node-sharded solver
+    (parallel/shard3d.py) passes the neighbour block's halo plane."""
     sgn = +1 if down else -1
     cross = [s for s, sh in enumerate(SHIFTS) if sh[axis] == sgn]
     inpl = [s for s, sh in enumerate(SHIFTS) if sh[axis] == 0]
@@ -169,7 +173,8 @@ def _plane_sweep3d(d, layout, axis: int, down: bool):
         cur = _axis_scan(cur, c1f, c1b, 1)
         return cur, cur
 
-    init = jnp.full_like(xs_d[0], jnp.inf)
+    init = (jnp.full_like(xs_d[0], jnp.inf) if carry_init is None
+            else carry_init)
     _, ys = jax.lax.scan(step, init, (xs_d,) + layout, reverse=down)
     return jnp.moveaxis(ys, 0, axis)
 
