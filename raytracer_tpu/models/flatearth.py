@@ -142,19 +142,36 @@ class RadialModel:
         Returns (delta, T, reached): epicentral angle (rad) and time (s)
         accumulated from the surface to the turning point or to `r_stop`,
         whichever comes first, and whether the ray reached `r_stop`
-        without turning.  Vectorised over p (chunked: the (n_p, n_layers)
-        work arrays at full 1-km table resolution are ~300 MB per 6000
-        rays otherwise).
+        without turning.  Vectorised over p, chunked AND depth-truncated:
+        a ray of spherical parameter p is dead past the first layer whose
+        flattened velocity reaches R0/p, so each descending-sorted p
+        chunk only touches the stack prefix its shallowest-turning member
+        can reach (the flattened 1-km table is ~13k layers; large-p
+        chunks touch a few hundred).
         """
         p_all = np.atleast_1d(np.asarray(p_sph, np.float64))
+        v1f, v2f, bf, hf = self._stack_above(r_stop)
+        L = v1f.size
+        vmax_acc = np.maximum.accumulate(np.maximum(v1f, v2f))
         if p_all.size > 1024:
-            outs = [self.down_leg(p_all[i:i + 1024], r_stop)
-                    for i in range(0, p_all.size, 1024)]
-            return (np.concatenate([o[0] for o in outs]),
-                    np.concatenate([o[1] for o in outs]),
-                    np.concatenate([o[2] for o in outs]))
+            order = np.argsort(-p_all, kind="stable")
+            ps = p_all[order]
+            X = np.empty(p_all.size)
+            T = np.empty(p_all.size)
+            reach = np.empty(p_all.size, dtype=bool)
+            for i in range(0, ps.size, 1024):
+                o = self.down_leg(ps[i:i + 1024], r_stop)
+                X[i:i + 1024], T[i:i + 1024], reach[i:i + 1024] = o
+            inv = np.empty_like(order)
+            inv[order] = np.arange(order.size)
+            return X[inv], T[inv], reach[inv]
         p = p_all / self.R0
-        v1, v2, b, h = self._stack_above(r_stop)
+        p_min = float(p_all.min(initial=np.inf))
+        if p_min > 0.0 and np.isfinite(p_min):
+            k_cut = min(int(np.searchsorted(vmax_acc, self.R0 / p_min)) + 1, L)
+        else:
+            k_cut = L
+        v1, v2, b, h = (v1f[:k_cut], v2f[:k_cut], bf[:k_cut], hf[:k_cut])
         v1, v2, b, h = v1[None, :], v2[None, :], b[None, :], h[None, :]
         pc = p[:, None]
 
@@ -192,9 +209,27 @@ class RadialModel:
         reaches the bottom of the stack.  The turning point is where the
         flattened velocity first reaches 1/p going down; within the
         (linear) turning layer z_t = z1 + (1/p - v1)/b."""
-        p = np.atleast_1d(np.asarray(p_sph, np.float64)) / self.R0
-        v1 = self.v1[None, :]
-        v2 = self.v2[None, :]
+        p_all = np.atleast_1d(np.asarray(p_sph, np.float64))
+        if p_all.size > 1024:
+            # chunk + depth-truncate exactly like down_leg (the stops
+            # logic only needs the stack prefix any chunk member reaches)
+            order = np.argsort(-p_all, kind="stable")
+            ps = p_all[order]
+            out = np.concatenate([self.turning_radius(ps[i:i + 1024])
+                                  for i in range(0, ps.size, 1024)])
+            inv = np.empty_like(order)
+            inv[order] = np.arange(order.size)
+            return out[inv]
+        p = p_all / self.R0
+        L = self.v1.size
+        p_min = float(p_all.min(initial=np.inf))
+        if p_min > 0.0 and np.isfinite(p_min):
+            vmax_acc = np.maximum.accumulate(np.maximum(self.v1, self.v2))
+            k_cut = min(int(np.searchsorted(vmax_acc, self.R0 / p_min)) + 1, L)
+        else:
+            k_cut = L
+        v1 = self.v1[None, :k_cut]
+        v2 = self.v2[None, :k_cut]
         q1 = p[:, None] * v1
         q2 = p[:, None] * v2
         enters = q1 < 1.0

@@ -194,7 +194,11 @@ def test_pallas_engine_lane_blocked(monkeypatch):
     ws = pack_twrapped_stencil(cg, dtype=np.float32, band_closure=0)
     monkeypatch.setattr(swt, "_RSWEEP_SINGLE_BYTES", 1)  # force blocking
     monkeypatch.setattr(swt, "_RSWEEP_WINDOW_BYTES", 1)  # ... maximal
-    for deg in (0.0, 179.0):
+    # one source suffices: the SSSP field reaches every column, so a
+    # single solve exercises the theta wrap AND every block boundary;
+    # deg=179 additionally puts the source right next to the NTB=128
+    # internal boundary (interpret-mode solves cost ~70 s each here)
+    for deg in (179.0,):
         src = rt.closest_point(gr, np.deg2rad(deg), R, system="polar")
         d_ref, _ = solve_circulant(cg, src, CFG)
         d, rounds = solve_circulant_sweep(cg, src, CFG, engine="pallas",
