@@ -5,6 +5,17 @@ observations synthesised on a FINE spherical-wedge grid, events located
 on progressively coarser wedges (with/without bending, with/without
 pick noise).  Position error in km.  Emits a markdown table.
 
+Unlike the 2-D annulus (secondary nodes put the fine grid's SPM bias
+well under a second), the 3-D structured grid's 26-point stencil at
+~70-110 km node spacing carries SECONDS of direction-dependent SPM
+bias even on the finest affordable wedge, and raw-SPM truth picks
+would share that exact bias with the raw-SPM test fields — making the
+no-bend locator look spuriously perfect (zero error on the shared
+grid) and bending look harmful.  Real picks come from the continuous
+Earth, so truth times here are the BENT fine-grid times (the same
+continuous Fermat functional `bend=True` uses), which is the 3-D
+equivalent of the 2-D experiment's premise.
+
 Usage: python benchmarks/locate3d_convergence.py [--quick] [--tpu]
 """
 import argparse
@@ -76,7 +87,20 @@ def main():
     F = station_fields3d(gr_f, U_f, stations_f, CFG, engine=engine)
     print(f"# fine fields {gr_f.nnods_total} nodes: {time.time()-t0:.1f}s",
           file=sys.stderr, flush=True)
-    t_true = np.stack([F[:, e] for e in events_f])
+    # truth picks: bent (continuous-functional) fine-grid times — see
+    # module docstring.  Station prev trees cached across events.
+    from raytracer_tpu.solvers.locate import _bent_times_and_dirs3d
+    t0 = time.time()
+    cache = {}
+    t_true = np.stack([
+        _bent_times_and_dirs3d(gr_f, U_f, stations_f, F, e,
+                               (prof.r, prof.Vp), config=CFG,
+                               _prev_cache=cache)[0]
+        for e in events_f])
+    spm_bias = np.stack([F[:, e] for e in events_f]) - t_true
+    print(f"# bent truth picks: {time.time()-t0:.1f}s; fine-grid SPM "
+          f"bias mean {spm_bias.mean():+.2f}s spread "
+          f"{spm_bias.std():.2f}s", file=sys.stderr, flush=True)
     ev_xyz = np.stack([[gr_f.x[e], gr_f.y[e], gr_f.z[e]] for e in events_f])
 
     configs = [(32, 24, 20), (48, 36, 30), (64, 48, 40)]
