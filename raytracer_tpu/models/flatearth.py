@@ -427,3 +427,87 @@ def cmb_radius(model: str = "ak135") -> float:
     prof = velocity_profile(model)
     zero = prof.r[np.asarray(prof.Vs) <= 1e-9]
     return float(zero.max())
+
+
+_CONVERTED_CACHE: dict = {}
+
+
+def converted_branch(model: str = "ak135",
+                     legs=("Vs", "Vp", "Vs"),
+                     r_boundary: float = None, n_p: int = 6000):
+    """(p, delta, T, tau) curves of the boundary-converted core class.
+
+    legs = (down wave, core wave, up wave): 'Vs','Vp','Vs' is SKS,
+    'Vp','Vp','Vp' is PKP (including PKIKP -- the core stack covers the
+    inner core), 'Vs','Vp','Vp' is SKP, etc.  The spherical ray
+    parameter p (s/rad) is conserved across the conversion, so the
+    class branch is the p-wise sum of three leg integrals: the mantle
+    down/up legs on the full-table model truncated at the boundary
+    (must REACH it without turning) and a full turning path inside a
+    core-only RadialModel whose surface is the boundary (the
+    Earth-flattening invariants p_f v_f = p_sph v / r make the leg
+    integrals independent of each sub-model's reference radius).
+    r_boundary defaults to the table's own fluid-core top
+    (`cmb_radius`).  Cached per argument tuple.
+    """
+    r_b = cmb_radius(model) if r_boundary is None else float(r_boundary)
+    key = (model, tuple(legs), r_b, n_p)
+    if key in _CONVERTED_CACHE:
+        return _CONVERTED_CACHE[key]
+    from .velocity import velocity_profile
+
+    prof = velocity_profile(model)
+    sel = prof.r <= r_b + 1e-9
+    v_core = getattr(prof, legs[1] if legs[1] in ("Vp", "Vs") else "Vp")
+    m_core = RadialModel(prof.r[sel], np.asarray(v_core)[sel])
+    m_dn = table_model(model, legs[0])
+    m_up = table_model(model, legs[2])
+
+    # an S mantle leg cannot integrate down to the zero-Vs knot (the
+    # flattened T integral log-diverges as v -> 0): stop it at the last
+    # positive-Vs row instead.  The skipped ~1 table step is the
+    # table's own smear of the conversion depth (<= ~0.15 s vertical),
+    # the same ambiguity the SPM grid's buffered dual velocities carry.
+    vs = np.asarray(prof.Vs)
+
+    def _leg_stop(wave):
+        if wave != "Vs":
+            return r_b
+        above = (prof.r > r_b) & (vs > 1e-9)
+        return float(prof.r[above].min()) if above.any() else r_b
+
+    p, d_core, T_core, _ = m_core.direct_branch(n_p)
+    ok = ~np.isnan(d_core)
+    X1, T1, reach1 = m_dn.down_leg(p[ok], r_stop=_leg_stop(legs[0]))
+    if legs[2] == legs[0]:
+        X2, T2, reach2 = X1, T1, reach1
+    else:
+        X2, T2, reach2 = m_up.down_leg(p[ok], r_stop=_leg_stop(legs[2]))
+    good = reach1 & reach2
+    pg = p[ok][good]
+    delta = X1[good] + X2[good] + d_core[ok][good]
+    T = T1[good] + T2[good] + T_core[ok][good]
+    tau = T - pg * delta
+    _CONVERTED_CACHE[key] = (pg, delta, T, tau)
+    return _CONVERTED_CACHE[key]
+
+
+def converted_first_arrival(delta_deg, model: str = "ak135",
+                            legs=("Vs", "Vp", "Vs"),
+                            r_boundary: float = None, n_p: int = 6000):
+    """First arrivals of the boundary-converted core class by the tau-p
+    lower envelope over `converted_branch` (exact for the refracted
+    branches; NaN where the class has no ray, i.e. below the branch's
+    minimum distance the envelope would extrapolate, so distances
+    outside [min, max] branch delta return NaN)."""
+    pg, delta, T, tau = converted_branch(model, legs, r_boundary, n_p)
+    dd = np.atleast_1d(np.asarray(delta_deg, np.float64))
+    out = np.full(dd.shape, np.nan)
+    if pg.size == 0:
+        return out
+    d_lo, d_hi = float(np.min(delta)), float(np.max(delta))
+    for i, d in enumerate(np.deg2rad(dd)):
+        if d < d_lo - 1e-12 or d > d_hi + 1e-12:
+            continue
+        out[i] = float(np.min(tau + pg * d))
+    return out

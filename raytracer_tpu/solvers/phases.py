@@ -51,6 +51,19 @@ def _region_mask_above(partition, k: int) -> np.ndarray:
            ((partition.boundary_of >= 1) & (partition.boundary_of <= k))
 
 
+def _region_mask_below(partition, k: int) -> np.ndarray:
+    """Nodes strictly below boundary k: layers k+1.. plus boundaries
+    k+1.. — the interior of a transmitted (core) leg.  The boundary-k
+    nodes themselves are deliberately EXCLUDED from updating: they sit
+    on the topside of the discontinuity and carry topside velocities,
+    so letting them relax inside the core stage would fabricate fast
+    creep paths riding the mantle side of the interface.  Their twins
+    (offset below, carrying underside velocities) are in layer k+1 by
+    radius, and the per-iteration unmasked halo min-merge moves values
+    across the interface in both directions."""
+    return (partition.layer_of > k) | (partition.boundary_of > k)
+
+
 def _phase_setup(A, halo, gr, U, k: int, config, _reuse=None,
                  engine: str = "stream"):
     from ..ops.circulant import build_circulant
@@ -184,6 +197,149 @@ def reflected_travel_times(
     return dist[0]
 
 
+def converted_travel_times(
+    A: sp.csr_matrix,
+    halo: np.ndarray,
+    source: int,
+    gr,
+    U_down: np.ndarray,
+    U_core: np.ndarray,
+    U_up: Optional[np.ndarray] = None,
+    reflector: str = "cmb",
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    interpret: bool = False,
+    _reuse: Optional[dict] = None,
+    engine: str = "stream",
+) -> np.ndarray:
+    """(n,) first arrivals of the boundary-converted core class: a
+    three-stage solve with PER-STAGE velocity packs — down leg above
+    `reflector` with U_down, transmitted leg below it with U_core, up
+    leg with U_up (default U_down).  (Vs, Vp, Vs) is the SKS class,
+    (Vp, Vp, Vp) the PKP class (the core region includes the inner
+    core, so PKIKP rides the same solve), (Vs, Vp, Vp) SKP.
+
+    Semantics — the kinematic first arrival of the whole
+    boundary-touching class of the leg waves: the boundary restart
+    keeps the boundary values across stages and the core leg may be
+    degenerate (a boundary node keeps its own down-leg time), so the
+    field is min(reflection, topside interface diffraction, converted
+    core transit).  For the wave-converted classes this is the new
+    capability: SKS overtakes every topside-S path beyond ~85 deg (the
+    classical SKS/S crossover), so the surface field there IS SKS —
+    validated against models/flatearth.py::converted_first_arrival in
+    tests/test_converted.py.  For all-P legs the topside CMB creep
+    (Pdiff) is kinematically first at every distance (its branch line
+    is tangent to direct P and PKIKP(180) sits ~25 s above it), so
+    'PKP' adds nothing over the plain solve's own first arrival — the
+    alias exists for completeness and returns the class min honestly.
+    Like `reflected_travel_times`, nodes outside the up-leg region
+    (core interior) return +inf in the final field.
+
+    Mechanics: the core stage masks the topside boundary nodes from
+    updating (their topside velocities would fabricate mantle-speed
+    creep inside the core; `_region_mask_below`), and its boundary
+    restart keeps the underside TWINS as well as the originals —
+    `constrain2layers` removes every direct topside-core edge, so the
+    twins (equal to their originals after stage 1's per-iteration halo
+    min-merge) are the only seeds the core stage can see.  Conversion
+    is thus exactly the discontinuity machinery of the plain solve.
+
+    The reference has no converted-phase capability at all (its phase
+    library src/multiphase/library.jl:9-31 is dead code); this is a
+    capability extension built from the staged machinery.
+    """
+    from ..ops.circulant import build_circulant
+    from ..ops.stream_t import _stream_tables, masked_stream_tables
+    from ..ops.wrapped_t import pack_twrapped_stencil
+    from .multiphase import _halo_slot_map, _lane_mask_of
+
+    k = REFLECTORS[reflector.lower()]
+    dtype = np.dtype(config.dtype)
+    same_up = U_up is None or U_up is U_down
+    partition = partition_grid(gr)
+
+    def _pack(tag, U):
+        # _reuse key carries a light content fingerprint of U so one
+        # reuse dict can serve several phases (SKS then PKP swaps the
+        # down-leg table; a tag-only key would silently reuse the wrong
+        # weights)
+        Ua = np.asarray(U)
+        fp = (Ua.shape, float(Ua[:: max(1, Ua.size // 16)].sum()))
+        key = ("conv_pack", tag, fp)
+        if _reuse is not None and key in _reuse:
+            return _reuse[key]
+        cg = build_circulant(gr, A, halo, U, dtype=dtype)
+        ws = pack_twrapped_stencil(cg, dtype=dtype, band_closure=0)
+        out = (cg, ws)
+        if _reuse is not None:
+            _reuse[key] = out
+        return out
+
+    cg1, ws1 = _pack("down", U_down)
+    cgk, wsk = _pack("core", U_core)
+    cg3, ws3 = (cg1, ws1) if same_up else _pack("up", U_up)
+    if not (ws1.Mp == wsk.Mp == ws3.Mp and ws1.ML == wsk.ML == ws3.ML):
+        raise AssertionError("per-leg circulant packs disagree in layout "
+                             "(same graph must give same Mp/ML)")
+
+    halo_map = _halo_slot_map(cg1, ws1, halo)
+    region_up = _region_mask_above(partition, k)
+    region_dn = _region_mask_below(partition, k)
+    lane_up = _lane_mask_of(cg1, ws1, region_up)
+    lane_dn = _lane_mask_of(cg1, ws1, region_dn)
+    orig = partition.boundary_of == k
+    # the underside twins of boundary k: `constrain2layers` removes all
+    # direct edges between the topside originals and the region below,
+    # so the core stage can only be seeded THROUGH the twins (which
+    # hold the merged down-leg times at end of stage 1: the per-
+    # iteration halo min-merge keeps them equal to their originals).
+    # The boundary restart before the core stage must therefore keep
+    # the twins too, or the stage sees no finite neighbour anywhere and
+    # converges to an all-inf no-op.
+    twin = np.zeros_like(orig)
+    ha, hb = halo[:, 0], halo[:, 1]
+    twin[hb[orig[ha]]] = True
+    twin[ha[orig[hb]]] = True
+    keep = _lane_mask_of(cg1, ws1, orig)
+    keep_dn = _lane_mask_of(cg1, ws1, orig | twin)
+    cen = cg1.cmap.center
+    cen_up = cen >= 0 and bool(region_up[cen])
+    cen_dn = cen >= 0 and bool(region_dn[cen])
+
+    if engine == "sweep":
+        from ..ops.sweep_theta import (SweepStageSpec, pack_rsweep_tables,
+                                       pack_sweep_tables)
+
+        def _stage(ws_, cg_, lane, cen_on, **kw):
+            tbl, _ = pack_sweep_tables(ws_, cg_, dtype,
+                                       slot_mask=lane[: ws_.Mp],
+                                       cen_on=cen_on)
+            (wdn, wup), _ = pack_rsweep_tables(ws_, cg_, dtype,
+                                               slot_mask=lane[: ws_.Mp])
+            return SweepStageSpec(tables=tbl, wtab_dn=wdn, wtab_up=wup,
+                                  halo_map=halo_map, **kw)
+    else:
+        from ..ops.stream_t import StageSpec
+
+        def _stage(ws_, cg_, lane, cen_on, **kw):
+            _, static = _stream_tables(ws_, dtype)
+            tables = masked_stream_tables(ws_, lane[: ws_.Mp], cen_on,
+                                          dtype)
+            return StageSpec(tables=tables, static=static,
+                             sel_mask=lane, halo_map=halo_map, **kw)
+
+    stages = [
+        _stage(ws1, cg1, lane_up, cen_up),
+        _stage(wsk, cgk, lane_dn, cen_dn, reset_keep=keep_dn,
+               cen_keep=False),
+        _stage(ws3, cg3, lane_up, cen_up, reset_keep=keep,
+               cen_keep=False),
+    ]
+    dist, _ = _staged_solve(cg1, ws1, stages, source, config, interpret,
+                            engine)
+    return dist[0]
+
+
 def pp_travel_times(
     t_src: np.ndarray,
     t_rcv: np.ndarray,
@@ -227,10 +383,13 @@ def phase_travel_times(
     config: SolverConfig = DEFAULT_SOLVER_CONFIG,
     receivers: Optional[Sequence[int]] = None,
     interpret: bool = False,
+    Us: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """First-arrival times of a named phase at `receivers` (or all
     nodes).  U must carry the matching wave speed (Vp for P phases, Vs
-    for S phases).
+    for S phases).  For the converted core phases U is the P-speed
+    table and `Us` (required when the phase has an S leg) the S-speed
+    table.
 
     'P'/'S'     -> plain solve (AnnulusSolver fast path)
     'Pdiff'/'Sdiff' -> the same field: an SPM first-arrival graph path
@@ -259,6 +418,20 @@ def phase_travel_times(
                                       reflector="cmb", config=config,
                                       interpret=interpret)
         return dist if receivers is None else dist[np.asarray(receivers)]
+    if p in ("SKS", "PKP", "PKIKP", "SKP", "PKS"):
+        legs = {"SKS": ("s", "s"), "PKP": ("p", "p"),
+                "PKIKP": ("p", "p"), "SKP": ("s", "p"),
+                "PKS": ("p", "s")}[p]
+        if "s" in legs and Us is None:
+            raise ValueError(f"{phase} has an S leg: pass Us (the "
+                             "S-speed node table) alongside U (P-speed)")
+        U_of = {"p": U, "s": Us}
+        dist = converted_travel_times(A, halo, source, gr,
+                                      U_down=U_of[legs[0]], U_core=U,
+                                      U_up=U_of[legs[1]],
+                                      reflector="cmb", config=config,
+                                      interpret=interpret)
+        return dist if receivers is None else dist[np.asarray(receivers)]
     if p == "PP":
         if receivers is None:
             raise ValueError("PP needs explicit receivers")
@@ -272,5 +445,5 @@ def phase_travel_times(
             t_rcv = solver.solve(int(r_), want_prev=False).dist
             out.append(pp_travel_times(t_src, t_rcv, gr, source, int(r_)))
         return np.asarray(out)
-    raise ValueError(f"unknown phase {phase!r}; "
-                     f"supported: P, S, Pdiff, Sdiff, PcP, ScS, PP")
+    raise ValueError(f"unknown phase {phase!r}; supported: P, S, Pdiff, "
+                     f"Sdiff, PcP, ScS, PP, SKS, PKP, PKIKP, SKP, PKS")

@@ -122,8 +122,10 @@ def test_pp_composition(annulus_mid):
 
 def test_unknown_phase_raises(annulus_mid):
     gr, A, halo, U = annulus_mid
+    # PKIKP used to be the unknown-phase probe; it dispatches now
+    # (tests/test_converted.py), so probe with a genuinely absent name
     with pytest.raises(ValueError):
-        phase_travel_times(A, halo, 0, gr, U, phase="PKIKP", config=F32,
+        phase_travel_times(A, halo, 0, gr, U, phase="PKJKP", config=F32,
                            interpret=True)
 
 
