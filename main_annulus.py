@@ -51,6 +51,13 @@ def main():
                          "(models/amplitude.py)")
     ap.add_argument("--freq", type=float, default=1.0,
                     help="frequency (Hz) for the t* spectral decay")
+    ap.add_argument("--phases", default=None,
+                    help="comma-separated named phases (PcP,ScS,PP,SKS,"
+                         "SKP,PKS,PKP,PKIKP,Pdiff,Sdiff,P,S); writes "
+                         "<prefix>_phases.csv with one first-arrival "
+                         "column per phase over the receiver fan "
+                         "(solvers/phases.py; NaN where the phase has "
+                         "no arrival)")
     ap.add_argument("--cache-dir", default=None,
                     help="disk cache for built grids and packed stencils "
                          "(e.g. .cache, shared with bench.py)")
@@ -159,6 +166,34 @@ def main():
                        "first arrival is interface-diffracted (core shadow); "
                        "pcp_p_ratio is NaN beyond the PcP branch",
                 comments="")
+
+    if args.phases:
+        with timer.section("named phases"):
+            from raytracer_tpu.solvers.phases import phase_travel_times
+
+            interpret = jax.devices()[0].platform != "tpu"
+            Vp_tab = rt.interpolate_velocity(
+                gr.r, rt.LinearInterpolation(prof.r, prof.Vp))
+            Vs_tab = rt.interpolate_velocity(
+                gr.r, rt.LinearInterpolation(prof.r, prof.Vs))
+            reuse: dict = {}
+            cols, names = [degs], ["deg"]
+            for name in [s.strip() for s in args.phases.split(",")
+                         if s.strip()]:
+                p = name.upper()
+                Utab = Vs_tab if p in ("S", "SDIFF", "SCS") else Vp_tab
+                Ustab = Vs_tab if p in ("SKS", "SKP", "PKS") else None
+                t = np.asarray(phase_travel_times(
+                    A, halo, source, gr, Utab, name, cfg,
+                    receivers=receivers, interpret=interpret, Us=Ustab,
+                    _reuse=reuse), dtype=np.float64)
+                cols.append(np.where(np.isfinite(t), t, np.nan))
+                names.append(name)
+            np.savetxt(f"{args.out_prefix}_phases.csv",
+                       np.stack(cols, axis=1), delimiter=",",
+                       header=",".join(names) + "\n# NaN = phase has no "
+                       "arrival at that receiver (outside its region or "
+                       "branch)", comments="")
 
     print(timer.report())
     print(f"travel time at  60 deg: {tt[np.argmin(np.abs(degs - 60.0))]:.2f} s")

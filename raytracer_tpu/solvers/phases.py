@@ -71,7 +71,12 @@ def _phase_setup(A, halo, gr, U, k: int, config, _reuse=None,
     from ..ops.wrapped_t import pack_twrapped_stencil
     from .multiphase import _halo_slot_map, _lane_mask_of
 
-    key = ("phase_setup", k, engine)
+    # key carries a light content fingerprint of U so one reuse dict can
+    # serve several phases (PcP with Vp then ScS with Vs; a U-blind key
+    # would silently reuse the wrong weight pack)
+    Ua = np.asarray(U)
+    fp = (Ua.shape, float(Ua[:: max(1, Ua.size // 16)].sum()))
+    key = ("phase_setup", k, engine, fp)
     if _reuse is not None and key in _reuse:
         return _reuse[key]
     partition = partition_grid(gr)
@@ -384,12 +389,16 @@ def phase_travel_times(
     receivers: Optional[Sequence[int]] = None,
     interpret: bool = False,
     Us: Optional[np.ndarray] = None,
+    _reuse: Optional[dict] = None,
+    engine: str = "stream",
 ) -> np.ndarray:
     """First-arrival times of a named phase at `receivers` (or all
     nodes).  U must carry the matching wave speed (Vp for P phases, Vs
     for S phases).  For the converted core phases U is the P-speed
     table and `Us` (required when the phase has an S leg) the S-speed
-    table.
+    table.  Pass one dict as `_reuse` across calls to amortise the
+    circulant packs (keys carry a U fingerprint, so mixed Vp/Vs phase
+    batches are safe).
 
     'P'/'S'     -> plain solve (AnnulusSolver fast path)
     'Pdiff'/'Sdiff' -> the same field: an SPM first-arrival graph path
@@ -416,7 +425,8 @@ def phase_travel_times(
     if p in ("PCP", "SCS"):
         dist = reflected_travel_times(A, halo, source, gr, U,
                                       reflector="cmb", config=config,
-                                      interpret=interpret)
+                                      interpret=interpret, _reuse=_reuse,
+                                      engine=engine)
         return dist if receivers is None else dist[np.asarray(receivers)]
     if p in ("SKS", "PKP", "PKIKP", "SKP", "PKS"):
         legs = {"SKS": ("s", "s"), "PKP": ("p", "p"),
@@ -430,7 +440,8 @@ def phase_travel_times(
                                       U_down=U_of[legs[0]], U_core=U,
                                       U_up=U_of[legs[1]],
                                       reflector="cmb", config=config,
-                                      interpret=interpret)
+                                      interpret=interpret, _reuse=_reuse,
+                                      engine=engine)
         return dist if receivers is None else dist[np.asarray(receivers)]
     if p == "PP":
         if receivers is None:

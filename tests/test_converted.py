@@ -147,6 +147,35 @@ def test_phase_api_dispatch(annulus_conv):
                            interpret=True)
 
 
+def test_driver_phases_csv(tmp_path):
+    # end-to-end --phases surface: one CSV, one column per phase, PcP
+    # and SKS finite at their receivers, ordered sanely
+    import os
+    import runpy
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prefix = str(tmp_path / "run")
+    argv_old = sys.argv
+    sys.argv = ["main_annulus.py", "--ntheta", "16", "--nr", "6",
+                "--spacing", "300", "--out-prefix", prefix,
+                "--phases", "PcP,SKS"]
+    try:
+        runpy.run_path(os.path.join(root, "main_annulus.py"),
+                       run_name="__main__")
+    finally:
+        sys.argv = argv_old
+    rows = np.genfromtxt(prefix + "_phases.csv", delimiter=",",
+                         skip_header=2)
+    assert rows.shape[1] == 3
+    deg, pcp, sks = rows[:, 0], rows[:, 1], rows[:, 2]
+    near = deg <= 60
+    assert np.isfinite(pcp[near]).all()
+    mid = (deg >= 90) & (deg <= 150)
+    assert np.isfinite(sks[mid]).all()
+    assert np.all(sks[mid] > pcp[mid])    # S legs are slower than all-P
+
+
 def test_sweep_engine_matches_stream(annulus_conv):
     gr, A, halo, Up, Us, src, sks, reuse = annulus_conv
     d_sw = converted_travel_times(A, halo, src, gr, Us, Up, config=F32,
