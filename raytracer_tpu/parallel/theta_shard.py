@@ -58,6 +58,7 @@ from ..ops.sweep_theta import (SweepState, _sweep, pack_sweep_tables)
 from ..ops.wrapped_t import _textract_jit, pack_twrapped_stencil
 
 THETA_AXIS = "theta"
+SRC_AXIS = "src"
 
 
 def make_theta_mesh(devices=None) -> Mesh:
@@ -65,24 +66,37 @@ def make_theta_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), (THETA_AXIS,))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("static", "max_rounds", "S", "mesh"))
-def _solve_theta_sharded_jit(src_m, src_c, src_cen, tbl, tol, static,
-                             max_rounds: int, S: int, mesh: Mesh):
-    """Sharded solve: returns SweepState with the GLOBAL (S, nt, ML)
-    field (theta-sharded on device) and the round count."""
-    dtype = tbl.wg[0].dtype
+def make_grid_mesh(d_src: int, d_theta: Optional[int] = None,
+                   devices=None) -> Mesh:
+    """2-D (source, theta) device mesh: rows shard the source batch
+    (zero inter-row collectives), columns shard the theta axis (ring
+    halo inside each row).  The scaling-book composition: DP over
+    sources x domain decomposition over the grid."""
+    devices = list(devices if devices is not None else jax.devices())
+    if d_theta is None:
+        if len(devices) % d_src:
+            raise ValueError(f"{len(devices)} devices not divisible by "
+                             f"d_src={d_src}")
+        d_theta = len(devices) // d_src
+    arr = np.array(devices[: d_src * d_theta]).reshape(d_src, d_theta)
+    return Mesh(arr, (SRC_AXIS, THETA_AXIS))
+
+
+def _block_fn(static, max_rounds: int, D: int):
+    """Per-device block Gauss-Seidel solve closure; all collectives are
+    scoped to THETA_AXIS, so the same block serves the 1-D theta mesh
+    and each row of the 2-D (source, theta) mesh unchanged."""
     nt, ML = static.nt, static.ML
-    D = mesh.devices.size
     ntl = nt // D
-    inf = jnp.asarray(jnp.inf, dtype)
-    zero = jnp.zeros((), dtype)
-    fan = tbl.fan_w[None, None, :]
-    fan_in = tbl.fan_in[None, None, :]
     perm_fwd = [(i, (i + 1) % D) for i in range(D)]   # send right
     perm_bwd = [((i + 1) % D, i) for i in range(D)]   # send left
 
     def block(tbl, src_m, src_c, src_cen, tol):
+        dtype = tbl.wg[0].dtype
+        inf = jnp.asarray(jnp.inf, dtype)
+        zero = jnp.zeros((), dtype)
+        fan = tbl.fan_w[None, None, :]
+        fan_in = tbl.fan_in[None, None, :]
         bid = jax.lax.axis_index(THETA_AXIS)
         col = bid * ntl + jnp.arange(ntl, dtype=jnp.int32)[None, :, None]
         lane = jnp.arange(ML, dtype=jnp.int32)[None, None, :]
@@ -121,10 +135,48 @@ def _solve_theta_sharded_jit(src_m, src_c, src_cen, tbl, tol, static,
         v = jnp.minimum(st.dist, cen[:, None, None] + fan)
         return SweepState(v, cen, st.changed, st.it)
 
+    return block
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("static", "max_rounds", "S", "mesh"))
+def _solve_theta_sharded_jit(src_m, src_c, src_cen, tbl, tol, static,
+                             max_rounds: int, S: int, mesh: Mesh):
+    """Sharded solve: returns SweepState with the GLOBAL (S, nt, ML)
+    field (theta-sharded on device) and the round count."""
+    block = _block_fn(static, max_rounds, mesh.devices.size)
     fn = jax.shard_map(
         block, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
         out_specs=SweepState(P(None, THETA_AXIS, None), P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(tbl, src_m, src_c, src_cen, tol)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("static", "max_rounds", "S", "mesh"))
+def _solve_mesh_sharded_jit(src_m, src_c, src_cen, tbl, tol, static,
+                            max_rounds: int, S: int, mesh: Mesh):
+    """2-D (source, theta) sharded solve: each source-row of the mesh
+    runs the theta-ring block solve on its slice of the batch; rows
+    never communicate (their while_loops run independent trip counts —
+    legal because every collective is scoped to THETA_AXIS).  changed/it
+    come back per-source-row as (S,) arrays."""
+    block = _block_fn(static, max_rounds, mesh.shape[THETA_AXIS])
+
+    def block2(tbl, src_m, src_c, src_cen, tol):
+        st = block(tbl, src_m, src_c, src_cen, tol)
+        s_loc = src_m.shape[0]
+        return SweepState(st.dist, st.cen,
+                          jnp.broadcast_to(st.changed[None], (s_loc,)),
+                          jnp.broadcast_to(st.it[None], (s_loc,)))
+
+    fn = jax.shard_map(
+        block2, mesh=mesh,
+        in_specs=(P(), P(SRC_AXIS), P(SRC_AXIS), P(SRC_AXIS), P()),
+        out_specs=SweepState(P(SRC_AXIS, THETA_AXIS, None), P(SRC_AXIS),
+                             P(SRC_AXIS), P(SRC_AXIS)),
         check_vma=False,
     )
     return fn(tbl, src_m, src_c, src_cen, tol)
@@ -177,3 +229,66 @@ def solve_sweep_theta_sharded(
     rows = np.asarray(_textract_jit(st.dist.reshape(S * nt, static.ML),
                                     cen2d, st.it, jm, jc, jcm, jv, S, nt))
     return rows[:, :-1], int(rows[0, -1])
+
+
+def solve_sweep_mesh_sharded(
+    cg: CirculantGraph,
+    sources,
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    mesh: Optional[Mesh] = None,
+    receivers=None,
+    max_rounds: int = None,
+    _packed=None,
+) -> Tuple[np.ndarray, int]:
+    """Sweep solve over a 2-D (source, theta) device mesh — the
+    composed scaling mode: the source batch is data-parallel across
+    mesh ROWS (zero inter-row collectives, like
+    parallel/multisource.py) while each row domain-decomposes the
+    grid's theta axis with the ring-halo block Gauss-Seidel of
+    `solve_sweep_theta_sharded`.  Use when BOTH the table (many
+    sources) and the field (big grid) outgrow one chip: a v5e-64 as an
+    8x8 mesh holds 8 source shards of an 8-chip-wide grid.
+
+    Returns (values, rounds): values is (S, n_out) in the caller's
+    source order; rounds is the max halo-exchange round count over the
+    source rows.  S is padded up to a multiple of the source-axis size
+    internally (pad rows re-solve sources[0] and are dropped).  ntheta
+    must divide by the theta-axis size.
+    """
+    mesh = mesh if mesh is not None else make_grid_mesh(1)
+    if SRC_AXIS not in mesh.shape or THETA_AXIS not in mesh.shape:
+        raise ValueError(f"mesh must have axes ({SRC_AXIS!r}, "
+                         f"{THETA_AXIS!r}); got {tuple(mesh.shape)}")
+    d_src = mesh.shape[SRC_AXIS]
+    dtype = jnp.dtype(config.dtype)
+    ws = _packed if _packed is not None else pack_twrapped_stencil(
+        cg, dtype=dtype, band_closure=0)
+    tbl, static = pack_sweep_tables(ws, cg, dtype)
+    if static.nt % mesh.shape[THETA_AXIS]:
+        raise ValueError(
+            f"ntheta={static.nt} not divisible by theta-axis size "
+            f"{mesh.shape[THETA_AXIS]}")
+    sources = np.atleast_1d(np.asarray(sources, dtype=np.int64))
+    S0 = len(sources)
+    pad = (-S0) % d_src
+    if pad:
+        sources = np.concatenate([sources, np.full(pad, sources[0])])
+    S = len(sources)
+    cmap = cg.cmap
+    is_cen = sources == cmap.center
+    src_m = jnp.asarray(np.where(is_cen, 0, cmap.m_of[sources]), jnp.int32)
+    src_c = jnp.asarray(np.where(is_cen, 0, cmap.c_of[sources]), jnp.int32)
+    src_cen = jnp.asarray(is_cen)
+    tol = jnp.asarray(config.tol_value(), dtype)
+    cap = max_rounds if max_rounds is not None else config.max_iters
+
+    st = _solve_mesh_sharded_jit(src_m, src_c, src_cen, tbl, tol, static,
+                                 cap, S, mesh)
+    n_out, (jm, jc, jcm, jv) = _extract_cached(ws.dcache, cmap, receivers)
+    nt = static.nt
+    cen2d = jnp.broadcast_to(jnp.repeat(st.cen, LANES)[None, :],
+                             (SUB, S * LANES))
+    rounds = jnp.max(st.it)
+    rows = np.asarray(_textract_jit(st.dist.reshape(S * nt, static.ML),
+                                    cen2d, rounds, jm, jc, jcm, jv, S, nt))
+    return rows[:S0, :-1], int(rows[0, -1])
