@@ -305,6 +305,100 @@ def locate(solver, stations: Sequence[int], t_obs: Sequence[float],
                     node_rms=node_rms, delta=np.asarray(delta))
 
 
+def locate_phases(solvers, stations, t_obs, sigma=None,
+                  refine: bool = True, fields=None, bend: bool = False,
+                  profiles=None,
+                  _prev_caches: Optional[Sequence[dict]] = None
+                  ) -> Location:
+    """Joint multi-phase location: one entry per phase in each argument
+    (e.g. `solvers=[solver_p, solver_s]` over the same grid with Vp/Vs
+    tables, `stations=[ids_p, ids_s]`, `t_obs=[picks_p, picks_s]`).
+
+    The classic use is P+S picks: S picks break the depth/origin-time
+    trade-off a one-sided P network leaves open (an S-P time fixes the
+    source distance independently of t0).  Mechanics: per-phase station
+    fields stack into one (sum K_k, n) matrix — the origin-time-
+    eliminated grid search is phase-agnostic — while the Gauss-Newton
+    gradients and optional bending run per phase with that phase's
+    velocity pack (the eikonal slowness differs between P and S rows).
+
+    sigma / fields / profiles / _prev_caches: per-phase lists matching
+    `solvers` (each as in `locate`); any may be None.
+    """
+    P_ = len(solvers)
+    if not (len(stations) == len(t_obs) == P_):
+        raise ValueError("solvers, stations, t_obs must have one entry "
+                         f"per phase; got {P_}, {len(stations)}, "
+                         f"{len(t_obs)}")
+    gr = solvers[0].gr
+    for s in solvers[1:]:
+        if s.gr is not gr and int(s.gr.nnods) != int(gr.nnods):
+            raise ValueError("all phase solvers must share one grid")
+    sigma = sigma if sigma is not None else [None] * P_
+    fields = fields if fields is not None else [None] * P_
+    profiles = profiles if profiles is not None else [None] * P_
+    caches = (_prev_caches if _prev_caches is not None
+              else [None] * P_)
+    if bend and not refine:
+        raise ValueError("bend=True requires refine=True (the bent "
+                         "model times feed the Gauss-Newton step)")
+
+    T_k, w_k, obs_k = [], [], []
+    for k in range(P_):
+        t_k = np.asarray(t_obs[k], np.float64)
+        K = len(stations[k])
+        if t_k.shape != (K,):
+            raise ValueError(f"phase {k}: t_obs shape {t_k.shape} != "
+                             f"({K},)")
+        w_k.append(np.ones(K) if sigma[k] is None
+                   else 1.0 / np.asarray(sigma[k], np.float64))
+        T_k.append(np.asarray(
+            fields[k] if fields[k] is not None
+            else station_fields(solvers[k], stations[k]), np.float64))
+        obs_k.append(t_k)
+    T = np.concatenate(T_k, axis=0)
+    w = np.concatenate(w_k)
+    t_all = np.concatenate(obs_k)
+
+    j, t0, m = _grid_search_jit(jnp.asarray(T), jnp.asarray(t_all),
+                                jnp.asarray(w * w))
+    j, t0 = int(j), float(t0)
+    w2sum = float(np.sum(w * w))
+    node_rms = float(np.sqrt(max(float(m), 0.0) / w2sum))
+
+    x, z = float(np.asarray(gr.x)[j]), float(np.asarray(gr.z)[j])
+    delta = np.zeros(2)
+    rms = node_rms
+    if refine:
+        g_rows, t_rows, spacings = [], [], []
+        for k in range(P_):
+            sol = solvers[k]
+            g_, sp_ = _ray_gradients(gr, sol.A, sol.halo, sol.U,
+                                     T_k[k], j)
+            t_m = T_k[k][:, j]
+            if bend:
+                t_b, g_b, ok = _bent_times_and_dirs(
+                    sol, stations[k], T_k[k], j, profiles[k],
+                    _prev_cache=caches[k])
+                t_m = t_b
+                g_ = np.where(ok[:, None], g_b, g_)
+            g_rows.append(g_)
+            t_rows.append(t_m)
+            spacings.append(sp_)
+        g = np.concatenate(g_rows, axis=0)
+        t_model = np.concatenate(t_rows)
+        delta, t0, rms = _gn_solve(g, t_model, t_all, w,
+                                   float(np.min(spacings)))
+        x, z = x + float(delta[0]), z + float(delta[1])
+        rr = float(np.hypot(x, z))
+        if rr > R:
+            x, z = x * (R / rr), z * (R / rr)
+    return Location(node=j, x=x, z=z,
+                    theta=float(np.arctan2(x, z) % (2 * np.pi)),
+                    r=float(np.hypot(x, z)), t0=t0, rms=rms,
+                    node_rms=node_rms, delta=np.asarray(delta))
+
+
 def _gn_solve(g: np.ndarray, t_model: np.ndarray, t_obs: np.ndarray,
               w: np.ndarray, max_step: float):
     """Weighted least squares for (delta, dt0) under the linear model

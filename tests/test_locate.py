@@ -335,3 +335,75 @@ def test_batched_search_matches_per_event(coarse):
         assert l1.node == lb.node
         assert np.isclose(l1.t0, lb.t0, atol=1e-9)
         assert np.isclose(l1.node_rms, lb.node_rms, atol=1e-9)
+
+
+def test_locate_phases_on_grid_exact(coarse):
+    """Joint P+S picks for an on-grid event: exact node recovery, exact
+    origin time, and the refined solution does not wander."""
+    from raytracer_tpu.solvers.locate import locate_phases
+
+    gr, solver, stations, fields = coarse
+    prof = rt.velocity_profile("ak135")
+    Us = rt.interpolate_velocity(
+        gr.r, rt.LinearInterpolation(prof.r, prof.Vs))
+    solver_s = rt.AnnulusSolver(gr, solver.A, solver.halo, Us,
+                                SolverConfig(dtype="float64"))
+    st_s = stations[:4]                  # sparser S network
+    f_s = station_fields(solver_s, st_s)
+    true = rt.closest_point(gr, np.deg2rad(123.0), rt.R - 600.0,
+                            system="polar")
+    loc = locate_phases([solver, solver_s], [stations, st_s],
+                        [fields[:, true] + 7.5, f_s[:, true] + 7.5],
+                        refine=False, fields=[fields, f_s])
+    assert np.linalg.norm(_xy(gr, loc.node) - _xy(gr, true)) < 1.0
+    assert abs(loc.t0 - 7.5) < 1e-6
+    assert loc.node_rms < 1e-8
+    loc_r = locate_phases([solver, solver_s], [stations, st_s],
+                          [fields[:, true] + 7.5, f_s[:, true] + 7.5],
+                          refine=True, fields=[fields, f_s])
+    assert np.linalg.norm([loc_r.x, loc_r.z] - _xy(gr, true)) < 5.0
+
+
+def test_locate_phases_sparse_network_beats_p_only(coarse):
+    """Two one-sided stations: P-only picks leave the distance/origin-
+    time trade-off open; adding S picks at the SAME stations (the S-P
+    time fixes source distance independently of t0) must cut the mean
+    position error."""
+    from raytracer_tpu.solvers.locate import locate_phases
+
+    gr, solver, stations, fields = coarse
+    prof = rt.velocity_profile("ak135")
+    Us = rt.interpolate_velocity(
+        gr.r, rt.LinearInterpolation(prof.r, prof.Vs))
+    solver_s = rt.AnnulusSolver(gr, solver.A, solver.halo, Us,
+                                SolverConfig(dtype="float64"))
+    # fine forward grids for truth picks, both waves
+    grf, Af, halof = rt.init_annulus(64, 16, spacing=120.0)
+    Upf = rt.interpolate_velocity(
+        grf.r, rt.LinearInterpolation(prof.r, prof.Vp))
+    Usf = rt.interpolate_velocity(
+        grf.r, rt.LinearInterpolation(prof.r, prof.Vs))
+    cfgf = SolverConfig(dtype="float64")
+    fine_p = rt.AnnulusSolver(grf, Af, halof, Upf, cfgf)
+    fine_s = rt.AnnulusSolver(grf, Af, halof, Usf, cfgf)
+    sub = [0, 1]                         # stations at 0 and 45 deg only
+    st_c = [stations[i] for i in sub]
+    st_f = [rt.closest_point(grf, np.deg2rad(STATION_DEGS[i]), rt.R,
+                             system="polar") for i in sub]
+    ffp = station_fields(fine_p, st_f)
+    ffs = station_fields(fine_s, st_f)
+    f_cp = fields[sub]
+    f_cs = station_fields(solver_s, st_c)
+    errs_p, errs_ps = [], []
+    for deg, dep in [(25.3, 500.0), (60.7, 300.0), (80.2, 800.0)]:
+        true = rt.closest_point(grf, np.deg2rad(deg), rt.R - dep,
+                                system="polar")
+        txy = _xy(grf, true)
+        lp = locate(solver, st_c, ffp[:, true], fields=f_cp)
+        lps = locate_phases([solver, solver_s], [st_c, st_c],
+                            [ffp[:, true], ffs[:, true]],
+                            fields=[f_cp, f_cs])
+        errs_p.append(np.linalg.norm(np.array([lp.x, lp.z]) - txy))
+        errs_ps.append(np.linalg.norm(np.array([lps.x, lps.z]) - txy))
+    assert np.mean(errs_ps) < np.mean(errs_p), (errs_ps, errs_p)
+    assert np.mean(errs_ps) < 300.0, errs_ps
