@@ -64,7 +64,7 @@ from .solvers.sensitivity import (path_sensitivity, path_sensitivity_dual,
                                   sensitivity_coo, sensitivity_matrix)
 from .solvers.locate import (Location, Location3D, locate, locate3d,
                              locate_dd, locate_many, locate_many3d,
-                             locate_phases,
+                             locate_phases, locate3d_phases,
                              station_fields, station_fields3d)
 from .solvers.types import BellmanFordMoore, Dijkstra, RadiusStepping
 from .utils.io import save_matfile, save_solution_npz, travel_times
@@ -169,6 +169,7 @@ __all__ = [
     "locate_many",
     "locate_many3d",
     "locate_phases",
+    "locate3d_phases",
     "station_fields",
     "station_fields3d",
     "BellmanFordMoore",

@@ -583,6 +583,86 @@ def locate3d(gr3, U: np.ndarray, stations: Sequence[int],
                       delta=np.asarray(delta))
 
 
+def locate3d_phases(gr3, Us, stations, t_obs, sigma=None,
+                    refine: bool = True, fields=None, bend: bool = False,
+                    profiles=None, config=None,
+                    _prev_caches: Optional[Sequence[dict]] = None,
+                    **solve_kwargs) -> Location3D:
+    """Joint multi-phase 3-D location (the `locate_phases` analogue):
+    one entry per phase in Us (per-node velocity tables on the same
+    grid), stations, t_obs, and optionally sigma / fields / profiles /
+    _prev_caches.  Per-phase station fields stack into one grid search;
+    the eikonal Gauss-Newton gradients (and bending) run per phase with
+    that phase's velocities."""
+    P_ = len(Us)
+    if not (len(stations) == len(t_obs) == P_):
+        raise ValueError("Us, stations, t_obs must have one entry per "
+                         f"phase; got {P_}, {len(stations)}, "
+                         f"{len(t_obs)}")
+    sigma = sigma if sigma is not None else [None] * P_
+    fields = fields if fields is not None else [None] * P_
+    profiles = profiles if profiles is not None else [None] * P_
+    caches = _prev_caches if _prev_caches is not None else [None] * P_
+    if bend and not refine:
+        raise ValueError("bend=True requires refine=True (the bent "
+                         "model times feed the Gauss-Newton step)")
+
+    T_k, w_k, obs_k = [], [], []
+    for k in range(P_):
+        t_k = np.asarray(t_obs[k], np.float64)
+        K = len(stations[k])
+        if t_k.shape != (K,):
+            raise ValueError(f"phase {k}: t_obs shape {t_k.shape} != "
+                             f"({K},)")
+        w_k.append(np.ones(K) if sigma[k] is None
+                   else 1.0 / np.asarray(sigma[k], np.float64))
+        T_k.append(np.asarray(
+            fields[k] if fields[k] is not None
+            else station_fields3d(gr3, Us[k], stations[k], config,
+                                  **solve_kwargs), np.float64))
+        obs_k.append(t_k)
+    T = np.concatenate(T_k, axis=0)
+    w = np.concatenate(w_k)
+    t_all = np.concatenate(obs_k)
+
+    j, t0, m = _grid_search_jit(jnp.asarray(T), jnp.asarray(t_all),
+                                jnp.asarray(w * w))
+    j, t0 = int(j), float(t0)
+    node_rms = float(np.sqrt(max(float(m), 0.0) / float(np.sum(w * w))))
+
+    pos = np.array([np.asarray(gr3.x)[j], np.asarray(gr3.y)[j],
+                    np.asarray(gr3.z)[j]])
+    delta = np.zeros(3)
+    rms = node_rms
+    if refine:
+        g_rows, t_rows, spacings = [], [], []
+        for k in range(P_):
+            g_, sp_ = _ray_gradients3d(gr3, Us[k], T_k[k], j)
+            t_m = T_k[k][:, j]
+            if bend:
+                t_b, g_b, ok = _bent_times_and_dirs3d(
+                    gr3, Us[k], stations[k], T_k[k], j, profiles[k],
+                    config=config, _prev_cache=caches[k])
+                t_m = t_b
+                g_ = np.where(ok[:, None], g_b, g_)
+            g_rows.append(g_)
+            t_rows.append(t_m)
+            spacings.append(sp_)
+        g = np.concatenate(g_rows, axis=0)
+        t_model = np.concatenate(t_rows)
+        delta, t0, rms = _gn_solve(g, t_model, t_all, w,
+                                   float(np.min(spacings)))
+        pos = pos + delta
+        rr = float(np.linalg.norm(pos))
+        r_max = float(np.asarray(gr3.r_ax).max())
+        if rr > r_max:
+            pos = pos * (r_max / rr)
+    return Location3D(node=j, x=float(pos[0]), y=float(pos[1]),
+                      z=float(pos[2]), r=float(np.linalg.norm(pos)),
+                      t0=t0, rms=rms, node_rms=node_rms,
+                      delta=np.asarray(delta))
+
+
 def locate_many3d(gr3, U: np.ndarray, stations: Sequence[int],
                   T_obs: np.ndarray,
                   sigma: Optional[Sequence[float]] = None,

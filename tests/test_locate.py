@@ -407,3 +407,58 @@ def test_locate_phases_sparse_network_beats_p_only(coarse):
         errs_ps.append(np.linalg.norm(np.array([lps.x, lps.z]) - txy))
     assert np.mean(errs_ps) < np.mean(errs_p), (errs_ps, errs_p)
     assert np.mean(errs_ps) < 300.0, errs_ps
+
+
+def test_locate3d_phases_exact_and_sparse():
+    """3-D joint P+S: exact on-grid recovery, and with only TWO corner
+    stations the S picks must pull the solution closer to the truth
+    than P alone (same degeneracy argument as the 2-D test)."""
+    from raytracer_tpu.solvers.locate import (locate3d, locate3d_phases,
+                                              station_fields3d)
+
+    g = rt.grid3d((0.0, 0.0, rt.R - 1500.0),
+                  (np.deg2rad(40.0), np.deg2rad(40.0), rt.R),
+                  (20, 16, 12))
+    prof = rt.velocity_profile("ak135")
+    Up = rt.interpolate_velocity(
+        g.r, rt.LinearInterpolation(prof.r, prof.Vp))
+    Us = rt.interpolate_velocity(
+        g.r, rt.LinearInterpolation(prof.r, prof.Vs))
+    cfg = SolverConfig(dtype="float64")
+    n0, n1, n2 = g.nnods
+    top = n0 * n1 * (n2 - 1)
+    st_p = [top, top + (n0 - 1), top + n0 * (n1 - 1),
+            top + n0 * n1 - 1, top + n0 * (n1 // 2) + n0 // 2]
+    st_s = st_p[:3]
+    f_p = station_fields3d(g, Up, st_p, cfg)
+    f_s = station_fields3d(g, Us, st_s, cfg)
+
+    src = (n0 // 3) + n0 * (n1 // 3) + n0 * n1 * (n2 // 2)
+    loc = locate3d_phases(g, [Up, Us], [st_p, st_s],
+                          [f_p[:, src] + 4.0, f_s[:, src] + 4.0],
+                          refine=False, fields=[f_p, f_s], config=cfg)
+    assert loc.node == src
+    assert abs(loc.t0 - 4.0) < 1e-6 and loc.node_rms < 1e-8
+
+    # degenerate 2-station network + pick noise: with K=2 and free t0
+    # the P-only misfit is zero on a whole surface of nodes, so noise
+    # throws the argmin far from the truth; S picks collapse the
+    # surface (measured means 376 km -> 7 km over these three events)
+    st2 = st_p[:2]
+    rng = np.random.default_rng(7)
+    errs_p, errs_ps = [], []
+    for ev in [(n0 // 3) + n0 * (n1 // 3) + n0 * n1 * (n2 // 2),
+               (2 * n0 // 3) + n0 * (n1 // 2) + n0 * n1 * (n2 // 3),
+               (n0 // 2) + n0 * (2 * n1 // 3) + n0 * n1 * (2 * n2 // 3)]:
+        truth = np.array([g.x[ev], g.y[ev], g.z[ev]])
+        tp = f_p[:2, ev] + rng.normal(0, 0.3, 2)
+        ts = f_s[:2, ev] + rng.normal(0, 0.3, 2)
+        lp = locate3d(g, Up, st2, tp, fields=f_p[:2], config=cfg)
+        lps = locate3d_phases(g, [Up, Us], [st2, st2], [tp, ts],
+                              fields=[f_p[:2], f_s[:2]], config=cfg)
+        errs_p.append(np.linalg.norm(
+            np.array([lp.x, lp.y, lp.z]) - truth))
+        errs_ps.append(np.linalg.norm(
+            np.array([lps.x, lps.y, lps.z]) - truth))
+    assert np.mean(errs_ps) < np.mean(errs_p), (errs_ps, errs_p)
+    assert np.mean(errs_ps) < 50.0, errs_ps    # measured ~7 km
