@@ -47,7 +47,8 @@ from .ops.relax import DeviceGraph
 from .ops.circulant import CirculantError, CirculantGraph, build_circulant, solve_circulant
 from .solvers.api import AnnulusSolver
 from .solvers.bfm import bfm, bfm3d, bfm_gpu, bfm_tpu, prepare, solve, solve_many
-from .solvers.solve3d import mask_region3d, solve3d, solve3d_reflection
+from .solvers.solve3d import (mask_region3d, solve3d,
+                              solve3d_converted, solve3d_reflection)
 from .solvers.multiphase import bfm_ms, bfm_multiphase, boundary_velocity, directions
 from .solvers.phases import phase_travel_times, reflected_travel_times
 from .solvers.dijkstra import weight_matrix, weights
@@ -109,6 +110,7 @@ __all__ = [
     "interpolate_elementwise",
     "bfm3d",
     "solve3d",
+    "solve3d_converted",
     "solve3d_reflection",
     "mask_region3d",
     "velocity3d",

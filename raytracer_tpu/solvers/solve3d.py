@@ -24,7 +24,7 @@ matrix - asserted in tests/test_grid3d.py.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -706,3 +706,87 @@ def solve3d_reflection(
     if receivers is not None:
         out = out[:, np.asarray(receivers, dtype=np.int64).ravel()]
     return out, int(stA.it) + int(stB.it)
+
+
+def _scan_costs_of(Wm):
+    def shift_w(dk, dj, di):
+        return Wm[SHIFTS.index((dk, dj, di))]
+
+    return tuple(
+        (shift_w(*a), shift_w(*b))
+        for a, b in (((-1, 0, 0), (1, 0, 0)), ((0, -1, 0), (0, 1, 0)),
+                     ((0, 0, -1), (0, 0, 1))))
+
+
+def solve3d_converted(
+    gr: Grid3D,
+    U_down: np.ndarray,
+    U_core: np.ndarray,
+    sources: Sequence[int],
+    r_boundary: float,
+    U_up: Optional[np.ndarray] = None,
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    receivers=None,
+) -> Tuple[np.ndarray, int]:
+    """Three-stage boundary-converted core transit on the 3-D grid —
+    the structured-lattice counterpart of the 2-D
+    `solvers/phases.py::converted_travel_times` (SKS class with
+    U_down = U_up = the Vs node field, U_core = Vp; PKP class all-Vp).
+
+    `gr` must be twin-doubled at `r_boundary`
+    (`grid3d(force_radii=[...])`): the boundary appears as the topside
+    level at exactly r_boundary plus the underside twin one radial
+    level below (r_boundary - twin_offset, carrying the below-side
+    velocity via `velocity3d`).  Stage A solves the topside region
+    (levels >= r_boundary) with U_down; the core stage seeds the
+    UNDERSIDE twin plane from stage A's topside-plane times (the dense
+    analogue of the 2-D halo-twin seeding — the twin-gap traversal
+    ~twin_offset/v is forgiven, as the 2-D zero-cost merge forgives it)
+    and solves the region below with U_core; stage B seeds the topside
+    plane from the core field's underside plane and re-solves the
+    topside region with U_up (default U_down).  Nodes outside the
+    topside region return +inf in the final field.
+    """
+    dtype = np.dtype(config.dtype)
+    shp3 = (gr.nnods[2], gr.nnods[1], gr.nnods[0])
+    r_ax = np.asarray(gr.r_ax)
+    k_top = int(np.argmin(np.abs(r_ax - r_boundary)))
+    if (abs(r_ax[k_top] - r_boundary) > 1e-6 or k_top == 0
+            or abs(r_ax[k_top - 1]
+                   - (r_boundary - gr.twin_offset)) > 1e-6):
+        raise ValueError(
+            "r_boundary must be a twin-doubled forced radius of the "
+            "grid (build with grid3d(force_radii=[r_boundary, ...]))")
+    k_under = k_top - 1
+    same_up = U_up is None or U_up is U_down
+
+    keep_top = (gr.r >= r_boundary - 1e-6).reshape(shp3)
+    keep_core = (gr.r <= r_boundary - 1e-6).reshape(shp3)
+    W_dn = jnp.asarray(mask_region3d(
+        _shifted_weights(gr, U_down, dtype), keep_top))
+    W_k = jnp.asarray(mask_region3d(
+        _shifted_weights(gr, U_core, dtype), keep_core))
+    W_up = W_dn if same_up else jnp.asarray(mask_region3d(
+        _shifted_weights(gr, U_up, dtype), keep_top))
+    sc_dn, sc_k = _scan_costs_of(W_dn), _scan_costs_of(W_k)
+    sc_up = sc_dn if same_up else _scan_costs_of(W_up)
+
+    sources = np.atleast_1d(np.asarray(sources, dtype=np.int64))
+    S = len(sources)
+    tol = jnp.asarray(config.tol_value(), dtype)
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    stA = _solve3d_sweep_jit(jnp.asarray(sources), W_dn, sc_dn, tol,
+                             config.max_iters, (0, 1, 2), S)
+    d0K = jnp.full_like(stA.dist, inf).at[:, k_under].set(
+        stA.dist[:, k_top])
+    stK = _solve3d_sweep_init_jit(d0K, W_k, sc_k, tol,
+                                  config.max_iters, (0, 1, 2), S)
+    d0B = jnp.full_like(stK.dist, inf).at[:, k_top].set(
+        jnp.minimum(stK.dist[:, k_under], stA.dist[:, k_top]))
+    stB = _solve3d_sweep_init_jit(d0B, W_up, sc_up, tol,
+                                  config.max_iters, (0, 1, 2), S)
+    out = np.asarray(stB.dist.reshape(S, -1))
+    if receivers is not None:
+        out = out[:, np.asarray(receivers, dtype=np.int64).ravel()]
+    return out, int(stA.it) + int(stK.it) + int(stB.it)

@@ -154,3 +154,68 @@ def test_locate3d_on_discontinuity_grid(wedge):
         np.array([gr.x[loc.node], gr.y[loc.node], gr.z[loc.node]])
         - np.array([gr.x[true_ev], gr.y[true_ev], gr.z[true_ev]]))
     assert err_km < 400.0, err_km
+
+
+# -- converted core phases on the 3-D lattice --------------------------------
+
+
+@pytest.fixture(scope="module")
+def wide_wedge():
+    """130-deg wedge reaching into the outer core (r floor 1400 km,
+    below the ~2000-2200 km SKS core-leg turning radii) for the
+    three-stage converted solve."""
+    radii = table_interface_radii("ak135")
+    gr = grid3d((0.0, np.deg2rad(88.0), 1400.0),
+                (np.deg2rad(130.0), np.deg2rad(92.0), R),
+                (66, 3, 42), force_radii=radii)
+    prof = rt.velocity_profile("ak135")
+    Up = velocity3d(gr, rt.LinearInterpolation(prof.r, prof.Vp))
+    Us = velocity3d(gr, rt.LinearInterpolation(prof.r, prof.Vs))
+    return gr, Up, Us
+
+
+def test_solve3d_converted_sks(wide_wedge):
+    """3-D SKS: the staged per-leg-velocity solve lands above the tau-p
+    converted-branch anchor by the 26-direction stencil bias (measured
+    +3.4..5.2%), beats the all-topside S class beyond the crossover
+    (measured margins 85-188 s at 105-125 deg), and the final field
+    lives on the topside region only."""
+    from raytracer_tpu.models.flatearth import converted_first_arrival
+    from raytracer_tpu.solvers.solve3d import solve3d_converted
+
+    gr, Up, Us = wide_wedge
+    src = _surface_node(gr, 0.0)
+    sks, rounds = solve3d_converted(gr, Us, Up, [src], 3481.5,
+                                    config=CFG)
+    assert rounds < 40
+    scs, _ = solve3d_reflection(gr, Us, [src], 3481.5, CFG)
+    for deg in (105.0, 125.0):
+        r_ = _surface_node(gr, deg)
+        anc = converted_first_arrival([deg], legs=("Vs", "Vp", "Vs"))[0]
+        assert sks[0, r_] > anc - 1.0, (deg, sks[0, r_], anc)
+        assert sks[0, r_] < anc * 1.08, (deg, sks[0, r_], anc)
+        assert sks[0, r_] < scs[0, r_] - 50.0   # the K leg genuinely wins
+    # class floor: the reflection class (degenerate core leg) is inside
+    # the converted class, so the converted field never exceeds it
+    fin = np.isfinite(scs[0])
+    assert np.all(sks[0][fin] <= scs[0][fin] + 5e-2)
+    # final field lives on the topside region: outer-core interior +inf
+    deep = gr.r < 3481.45 - 1e-6
+    assert not np.isfinite(sks[0][deep]).any()
+    # r_boundary must be a twin-doubled forced radius
+    with pytest.raises(ValueError, match="forced radius"):
+        solve3d_converted(gr, Us, Up, [src], 3000.0, config=CFG)
+
+
+def test_solve3d_converted_all_p_class_floor(wide_wedge):
+    """All-P legs: the converted class is a path subset, so its field
+    never beats the plain first arrival; at the far edge the topside
+    creep keeps the class within a bounded dip penalty."""
+    from raytracer_tpu.solvers.solve3d import solve3d_converted
+
+    gr, Up, Us = wide_wedge
+    src = _surface_node(gr, 0.0)
+    pkp, _ = solve3d_converted(gr, Up, Up, [src], 3481.5, config=CFG)
+    dP, _ = solve3d(gr, Up, [src], CFG, engine="sweep")
+    fin = np.isfinite(pkp[0])
+    assert np.all(pkp[0][fin] >= dP[0][fin] - 5e-3)
