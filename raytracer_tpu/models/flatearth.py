@@ -288,9 +288,40 @@ class RadialModel:
         cache[n_p] = (p, delta, T, tau)
         return cache[n_p]
 
+    def buried_branch(self, r_src: float, n_p: int = 6000):
+        """(p, delta, T, tau, is_up) direct-branch curves from a source
+        at radius `r_src`: the DOWNGOING family is the surface-to-
+        surface turning branch minus the surface->r_src leg (valid
+        where the ray reaches r_src, i.e. turns below the source), the
+        UPGOING family is that leg itself reversed (source straight up
+        to the surface).  Earth-flattening makes both exact leg-
+        integral sums/differences; r_src at the surface degenerates to
+        `direct_branch`.  Cached per (r_src, n_p)."""
+        cache = getattr(self, "_buried_cache", None)
+        if cache is None:
+            cache = self._buried_cache = {}
+        key = (float(r_src), n_p)
+        if key in cache:
+            return cache[key]
+        p, delta, T, tau = self.direct_branch(n_p)
+        ok = ~np.isnan(delta)
+        pg = p[ok]
+        Xl, Tl, reach = self.down_leg(pg, r_stop=r_src)
+        d_dn = delta[ok] - Xl
+        T_dn = T[ok] - Tl
+        good = reach & (d_dn > 0)
+        p_all = np.concatenate([pg[good], pg[reach]])
+        d_all = np.concatenate([d_dn[good], Xl[reach]])
+        T_all = np.concatenate([T_dn[good], Tl[reach]])
+        is_up = np.concatenate([np.zeros(int(good.sum()), bool),
+                                np.ones(int(reach.sum()), bool)])
+        cache[key] = (p_all, d_all, T_all, T_all - p_all * d_all, is_up)
+        return cache[key]
+
     def first_arrival(self, delta_deg, n_p: int = 6000,
                       diff_radii=(), return_p: bool = False,
-                      turn_below: float = None):
+                      turn_below: float = None,
+                      source_radius: float = None):
         """First-arrival times by the tau-p lower envelope over all
         turning rays, extended by interface diffraction at each radius in
         `diff_radii` (e.g. the CMB for Pdiff).  Exact for refracted
@@ -303,28 +334,77 @@ class RadialModel:
         rays turn INSIDE the transition and kinematically shadow it
         (e.g. PKIKP = turn_below just above the ICB; without it the
         envelope at 180 deg returns the CMB-smear turning limit, which
-        IS the first arrival of the smeared model)."""
-        p, delta, T, tau = self.direct_branch(n_p)
-        ok = ~np.isnan(tau)
-        if turn_below is not None:
-            r_t = self.turning_radius(p)
-            ok &= ~np.isnan(r_t) & (r_t <= turn_below)
-        p_ok, tau_ok = p[ok], tau[ok]
+        IS the first arrival of the smeared model).
+
+        source_radius: source at depth (km radius) -- the envelope runs
+        over `buried_branch` (downgoing family one source leg short,
+        plus the upgoing family) and the interface-diffraction legs are
+        shortened by the source leg on the source side."""
+        buried = (source_radius is not None
+                  and source_radius < self.R0 - 1e-9)
+        up_d = up_T = up_p = None
+        if buried:
+            p_b, d_b, T_b, tau_b, is_up = self.buried_branch(
+                source_radius, n_p)
+            # the DOWNGOING family keeps the surface branch's convex
+            # tau(p) (one leg subtracted), so the lower envelope stays
+            # exact; the UPGOING leg has delta INCREASING with p (tau
+            # concave), where the envelope operator is invalid -- its
+            # delta(p) is monotone, so first arrivals come from direct
+            # T(delta) interpolation instead
+            ok = ~is_up
+            if turn_below is not None:
+                r_t = self.turning_radius(p_b)
+                ok &= ~np.isnan(r_t) & (r_t <= turn_below)
+            elif is_up.any():
+                order = np.argsort(d_b[is_up], kind="stable")
+                up_d = d_b[is_up][order]
+                up_T = T_b[is_up][order]
+                up_p = p_b[is_up][order]
+            p_ok, tau_ok = p_b[ok], tau_b[ok]
+            # a buried downgoing family does NOT reach delta -> 0 (its
+            # steep limit passes the core; its grazing limit turns at
+            # the source depth): below its coverage the envelope would
+            # extrapolate under the true upgoing arrival, so gate it
+            env_d_lo = (float(np.min(d_b[ok])) if ok.any() else np.inf)
+        else:
+            p, delta, T, tau = self.direct_branch(n_p)
+            ok = ~np.isnan(tau)
+            if turn_below is not None:
+                r_t = self.turning_radius(p)
+                ok &= ~np.isnan(r_t) & (r_t <= turn_below)
+            p_ok, tau_ok = p[ok], tau[ok]
+            env_d_lo = -np.inf
 
         diffs = []
         for r_if in diff_radii:
             p_d = self.slowness_above(r_if) * (1.0 - 1e-12)
             Xg, Tg, reached = self.down_leg(np.array([p_d]), r_stop=r_if)
             if reached[0]:
-                diffs.append((2.0 * Xg[0], 2.0 * Tg[0], p_d))
+                dg, tg = 2.0 * Xg[0], 2.0 * Tg[0]
+                if buried:
+                    Xs, Ts, rs = self.down_leg(np.array([p_d]),
+                                               r_stop=source_radius)
+                    if not rs[0]:
+                        continue     # grazing ray turns above the source
+                    dg, tg = dg - Xs[0], tg - Ts[0]
+                diffs.append((dg, tg, p_d))
 
         dd = np.atleast_1d(np.asarray(delta_deg, np.float64))
         out = np.empty(dd.shape)
         pout = np.empty(dd.shape)
         for i, d in enumerate(np.deg2rad(dd)):
-            t_env = tau_ok + p_ok * d
-            k = int(np.argmin(t_env))
-            t_best, p_best = t_env[k], p_ok[k]
+            if d >= env_d_lo - 1e-9 and p_ok.size:
+                t_env = tau_ok + p_ok * d
+                k = int(np.argmin(t_env))
+                t_best, p_best = t_env[k], p_ok[k]
+            else:
+                t_best, p_best = np.inf, np.nan
+            if up_d is not None and up_d.size and d <= up_d[-1]:
+                t_u = float(np.interp(d, up_d, up_T))
+                if t_u < t_best:
+                    t_best = t_u
+                    p_best = float(np.interp(d, up_d, up_p))
             for (dg, tg, p_d) in diffs:
                 if d >= dg and tg + p_d * (d - dg) < t_best:
                     t_best = tg + p_d * (d - dg)
@@ -335,17 +415,27 @@ class RadialModel:
             return out, pout
         return out
 
-    def reflected(self, delta_deg, r_reflect: float, n_p: int = 6000):
+    def reflected(self, delta_deg, r_reflect: float, n_p: int = 6000,
+                  source_radius: float = None):
         """Times of the topside-reflection branch at `r_reflect` (PcP for
         the CMB, PKiKP for the ICB): down to the reflector without
         turning, bounce, retrace.  Delta(p) is monotone on this branch, so
-        T(Delta) follows by interpolation; NaN outside the branch."""
+        T(Delta) follows by interpolation; NaN outside the branch.
+        source_radius: buried source -- the source-side leg is the full
+        surface leg minus the surface->source piece."""
         p_g = self.slowness_above(r_reflect)
         p = np.linspace(0.0, p_g * (1.0 - 1e-9), n_p)
         X, T, reached = self.down_leg(p, r_stop=r_reflect)
         ok = reached
         delta = 2.0 * X[ok]
         times = 2.0 * T[ok]
+        if source_radius is not None and source_radius < self.R0 - 1e-9:
+            Xs, Ts, rs = self.down_leg(p[ok], r_stop=source_radius)
+            keep = rs
+            delta = delta[keep] - Xs[keep]
+            times = times[keep] - Ts[keep]
+            order = np.argsort(delta)
+            delta, times = delta[order], times[order]
         dd = np.deg2rad(np.atleast_1d(np.asarray(delta_deg, np.float64)))
         return np.interp(dd, delta, times, right=np.nan)
 

@@ -178,3 +178,65 @@ def test_wrappers_route_to_flat_engine():
     # legacy engine still reachable and close (its documented ~1 s error)
     legacy = ak135_first_arrivals(degs, shell_km=4, n_p=4000)
     assert np.max(np.abs(legacy - ak135_first_arrivals(degs))) < 2.5
+
+
+# -- buried sources -----------------------------------------------------------
+
+
+def test_buried_surface_degeneracy():
+    m = table_model("ak135")
+    d = np.array([30.0, 60.0, 90.0])
+    np.testing.assert_array_equal(m.first_arrival(d),
+                                  m.first_arrival(d, source_radius=R))
+
+
+def test_buried_vertical_time_matches_quadrature():
+    """Delta -> 0 from 600 km depth is the vertical upgoing ray; its
+    time must match an independent trapezoid quadrature of 1/v over the
+    vendored table (the envelope operator is INVALID for the upgoing
+    family -- delta grows with p, tau is concave -- so this pins the
+    interpolation path that replaces it)."""
+    from raytracer_tpu.models.velocity import velocity_profile
+
+    m = table_model("ak135")
+    rs = R - 600.0
+    t_up = m.first_arrival([1e-4], source_radius=rs)[0]
+    prof = velocity_profile("ak135")
+    rr = np.asarray(prof.r)
+    sel = (rr >= rs) & (rr <= R)
+    t_quad = np.trapezoid(1.0 / np.asarray(prof.Vp)[sel], rr[sel])
+    assert abs(t_up - t_quad) < 0.01, (t_up, t_quad)
+
+
+def test_buried_first_arrivals_vs_dijkstra():
+    """SPM solve from a 600-km-deep node vs the buried-source anchor:
+    the graph overshoots by its usual small bias, never undershoots."""
+    import raytracer_tpu as rt
+
+    m = table_model("ak135")
+    prof = rt.velocity_profile("ak135")
+    gr, A, halo = rt.init_annulus(36, 12, spacing=100.0)
+    Up = rt.interpolate_velocity(
+        gr.r, rt.LinearInterpolation(prof.r, prof.Vp))
+    src = rt.closest_point(gr, 0.0, R - 600.0, system="polar")
+    D = rt.dijkstra(A, halo, src, gr, Up)
+    for deg in (30.0, 60.0, 90.0):
+        rcv = rt.closest_point(gr, np.deg2rad(deg), R, system="polar")
+        anc = m.first_arrival([deg], source_radius=float(gr.r[src]),
+                              diff_radii=(cmb_radius(),))[0]
+        spm = float(D.dist[rcv])
+        assert spm > anc - 0.5, (deg, spm, anc)
+        assert spm < anc * 1.05, (deg, spm, anc)
+
+
+def test_buried_reflected_branch():
+    m = table_model("ak135")
+    cmb = cmb_radius("ak135")
+    pc0 = m.reflected([40.0], cmb)[0]
+    pcd = m.reflected([40.0], cmb, source_radius=R - 600.0)[0]
+    # one mantle leg 600 km shorter: earlier, by less than the
+    # two-way vertical time of the removed segment
+    assert pcd < pc0
+    assert pc0 - pcd < 80.0
+    # outside the branch: NaN, not extrapolation
+    assert np.isnan(m.reflected([170.0], cmb, source_radius=R - 600.0)[0])
