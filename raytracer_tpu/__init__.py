@@ -50,7 +50,10 @@ from .solvers.bfm import bfm, bfm3d, bfm_gpu, bfm_tpu, prepare, solve, solve_man
 from .solvers.solve3d import (mask_region3d, solve3d,
                               solve3d_converted, solve3d_reflection)
 from .solvers.multiphase import bfm_ms, bfm_multiphase, boundary_velocity, directions
-from .solvers.phases import phase_travel_times, reflected_travel_times
+from .solvers.phases import (depth_phase_travel_times, phase_travel_times,
+                             reflected_travel_times)
+from .models.flatearth import (depth_from_depth_phase,
+                               depth_phase_first_arrival)
 from .solvers.dijkstra import weight_matrix, weights
 from .models.delaunay import (add_midpoints, structured_convex_hull,
                               triangle_annulus_2d,
@@ -118,6 +121,9 @@ __all__ = [
     "bfm_ms",
     "bfm_multiphase",
     "phase_travel_times",
+    "depth_phase_travel_times",
+    "depth_phase_first_arrival",
+    "depth_from_depth_phase",
     "reflected_travel_times",
     "boundary_velocity",
     "directions",

@@ -601,3 +601,134 @@ def converted_first_arrival(delta_deg, model: str = "ak135",
             continue
         out[i] = float(np.min(tau + pg * d))
     return out
+
+
+_DEPTH_PHASE_CACHE: dict = {}
+
+_DEPTH_PHASES = {"pP": ("Vp", "Vp"), "sP": ("Vs", "Vp"),
+                 "sS": ("Vs", "Vs"), "pS": ("Vp", "Vs")}
+
+
+def depth_phase_branch(source_radius: float, phase: str = "pP",
+                       model: str = "ak135", n_p: int = 6000):
+    """(p, delta, T, tau) curves of a free-surface depth phase.
+
+    A depth phase (pP, sP, sS, pS -- lowercase letter = the short
+    UP-going leg from the buried source to the free surface, uppercase
+    = the full surface-to-surface main branch after the bounce) is the
+    p-wise sum of two leg integrals joined at equal spherical ray
+    parameter (Snell at the free-surface reflection): the up leg is
+    `down_leg(p, r_stop=source_radius)` of the up-leg wave's model,
+    valid where the ray reaches the source radius without turning, and
+    the main leg is that wave's full `direct_branch`.  The reference
+    has no depth-phase capability (its phase library
+    src/multiphase/library.jl:9-31 is dead code); this anchor exists to
+    pin the SPM bounce composition (solvers/phases.py::
+    depth_phase_travel_times) and to invert pP-P delays for depth.
+    Cached per argument tuple."""
+    if phase not in _DEPTH_PHASES:
+        raise ValueError(f"unknown depth phase {phase!r}; one of "
+                         f"{sorted(_DEPTH_PHASES)}")
+    key = (float(source_radius), phase, model, n_p)
+    if key in _DEPTH_PHASE_CACHE:
+        return _DEPTH_PHASE_CACHE[key]
+    up_w, main_w = _DEPTH_PHASES[phase]
+    m_main = table_model(model, main_w)
+    m_up = m_main if up_w == main_w else table_model(model, up_w)
+    p, delta, T, _ = m_main.direct_branch(n_p)
+    ok = ~np.isnan(delta)
+    p_ok, d_ok, T_ok = p[ok], delta[ok], T[ok]
+    Xu, Tu, reach = m_up.down_leg(p_ok, r_stop=source_radius)
+    pg = p_ok[reach]
+    dg = d_ok[reach] + Xu[reach]
+    Tg = T_ok[reach] + Tu[reach]
+    _DEPTH_PHASE_CACHE[key] = (pg, dg, Tg, Tg - pg * dg)
+    return _DEPTH_PHASE_CACHE[key]
+
+
+def depth_phase_first_arrival(delta_deg, source_depth_km: float,
+                              phase: str = "pP", model: str = "ak135",
+                              n_p: int = 6000, return_p: bool = False):
+    """First arrivals of a depth-phase family by the tau-p lower
+    envelope over `depth_phase_branch` (exact on the prograde branch,
+    the family first arrival across triplications); NaN outside the
+    branch's delta coverage, where the envelope would extrapolate."""
+    if phase not in _DEPTH_PHASES:
+        raise ValueError(f"unknown depth phase {phase!r}; one of "
+                         f"{sorted(_DEPTH_PHASES)}")
+    r_src = (table_model(model, _DEPTH_PHASES[phase][1]).R0
+             - float(source_depth_km))
+    pg, delta, T, tau = depth_phase_branch(r_src, phase, model, n_p)
+    dd = np.atleast_1d(np.asarray(delta_deg, np.float64))
+    out = np.full(dd.shape, np.nan)
+    pout = np.full(dd.shape, np.nan)
+    if pg.size:
+        d_lo, d_hi = float(np.min(delta)), float(np.max(delta))
+        for i, d in enumerate(np.deg2rad(dd)):
+            if d_lo - 1e-12 <= d <= d_hi + 1e-12:
+                t_env = tau + pg * d
+                k = int(np.argmin(t_env))
+                out[i], pout[i] = t_env[k], pg[k]
+    return (out, pout) if return_p else out
+
+
+def depth_from_depth_phase(delay_s: float, delta_deg: float,
+                           phase: str = "pP", model: str = "ak135",
+                           depth_bracket=(2.0, 750.0), n_p: int = 3000,
+                           tol_km: float = 0.05) -> float:
+    """Invert a picked depth-phase delay (t_phase - t_main, seconds, at
+    epicentral distance `delta_deg`) for source depth (km) -- the
+    classical use of depth phases, and the practical way to wire them
+    into location workflows: locate the epicentre from first arrivals,
+    then fix the depth from the pP-P (or sP-P / sS-S) delay, which is
+    monotone increasing in depth.  Bisection on the anchor's own delay
+    curve; raises if the delay is outside the bracket's range."""
+    main_w = _DEPTH_PHASES[phase][1]
+    m_main = table_model(model, main_w)
+
+    def f(h):
+        r_src = m_main.R0 - h
+        t_dp = depth_phase_first_arrival([delta_deg], h, phase, model,
+                                         n_p)[0]
+        t_main = m_main.first_arrival([delta_deg], n_p=n_p,
+                                      source_radius=r_src)[0]
+        return t_dp - t_main - delay_s
+
+    lo, hi = map(float, depth_bracket)
+    f_lo, f_hi = f(lo), f(hi)
+    # the branch's depth coverage at this distance can end inside the
+    # bracket (e.g. pP at 40 deg exists only to ~700 km in ak135: deeper
+    # sources push the bounce past the direct branch end into the core
+    # shadow) -- shrink each uncovered end to the coverage edge (depth
+    # coverage is contiguous: the branch's delta window moves
+    # monotonically with source depth)
+    if not (np.isfinite(f_lo) or np.isfinite(f_hi)):
+        raise ValueError("depth-phase branch does not cover "
+                         f"delta={delta_deg} over the depth bracket")
+
+    def _edge(a, fa, b):
+        """Largest step from covered `a` toward uncovered `b`."""
+        for _ in range(24):
+            m = 0.5 * (a + b)
+            fm = f(m)
+            if np.isfinite(fm):
+                a, fa = m, fm
+            else:
+                b = m
+        return a, fa
+
+    if not np.isfinite(f_hi):
+        hi, f_hi = _edge(lo, f_lo, hi)
+    elif not np.isfinite(f_lo):
+        lo, f_lo = _edge(hi, f_hi, lo)
+    if f_lo > 0 or f_hi < 0:
+        raise ValueError(f"delay {delay_s:.2f}s outside the bracket's "
+                         f"delay range [{f_lo + delay_s:.2f}, "
+                         f"{f_hi + delay_s:.2f}]s")
+    while hi - lo > tol_km:
+        mid = 0.5 * (lo + hi)
+        if f(mid) <= 0:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)

@@ -378,6 +378,72 @@ def pp_travel_times(
     return float(np.max(cand)) if len(cand) else float("inf")
 
 
+def depth_phase_travel_times(
+    A: sp.csr_matrix,
+    halo: np.ndarray,
+    source: int,
+    gr,
+    U_up: np.ndarray,
+    U_main: np.ndarray,
+    receivers: Sequence[int],
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Free-surface depth phases (pP / sP / sS / pS) on the SPM graph.
+
+    A depth phase is an up-going leg from the buried source (wave speed
+    `U_up`: Vp for pP/pS, Vs for sP/sS) reflected at the free surface
+    into a full main branch (`U_main`).  Composition by reciprocity
+    over surface bounce points b:  f(b) = t_up[source->b] +
+    t_main[b->receiver], the second field solved FROM the receiver
+    (the graph is undirected with symmetric weights).
+
+    Unlike PP - whose Fermat bounce is the minor-arc MAXIMUM of the
+    composition (`pp_travel_times`) - a depth phase's bounce is an
+    interior LOCAL MINIMUM of f along the surface ring: moving the
+    bounce from the epicentre toward the receiver first shortens the
+    path (the up leg tilts onto the geometric depth-phase ray), then
+    lengthens it up the PP-like midpoint hump, then collapses into the
+    direct arrival at the receiver itself.  So: scan the cyclic ring,
+    reject the receiver's own node (the collapsed direct arrival), and
+    return the smallest interior cyclic local minimum - the earliest
+    depth-phase arrival, pinned against the independent tau-p anchor
+    (models/flatearth.py::depth_phase_first_arrival) in
+    tests/test_depth_phases.py.  The reference has no depth-phase
+    capability (its phase library src/multiphase/library.jl:9-31 is
+    dead code).  Returns one time per receiver; inf when no interior
+    local minimum exists (e.g. a surface source, where the depth phase
+    merges into the direct arrival).
+    """
+    from .api import AnnulusSolver
+
+    method = "circulant" if interpret else "auto"
+    solver_up = AnnulusSolver(gr, A, halo, U_up, config, method=method)
+    t_src = np.asarray(solver_up.solve(source, want_prev=False).dist)
+    same_U = U_main is U_up or np.shares_memory(U_main, U_up)
+    solver_main = solver_up if same_U else AnnulusSolver(
+        gr, A, halo, U_main, config, method=method)
+
+    rr = np.asarray(gr.r)
+    surf = np.flatnonzero(rr == rr.max())
+    order = np.argsort(np.mod(np.asarray(gr.theta)[surf], 2 * np.pi))
+    surf = surf[order]
+    f_src = t_src[surf]
+
+    out = np.empty(len(receivers))
+    for j, r_ in enumerate(np.asarray(receivers)):
+        t_rcv = np.asarray(
+            solver_main.solve(int(r_), want_prev=False).dist)
+        f = f_src + t_rcv[surf]
+        fl = np.roll(f, 1)
+        fr = np.roll(f, -1)
+        is_min = (np.isfinite(f) & (f <= fl) & (f <= fr)
+                  & ((f < fl) | (f < fr)))
+        is_min[surf == int(r_)] = False   # the direct-arrival collapse
+        out[j] = float(np.min(f[is_min])) if is_min.any() else np.inf
+    return out
+
+
 def phase_travel_times(
     A: sp.csr_matrix,
     halo: np.ndarray,
@@ -411,9 +477,24 @@ def phase_travel_times(
                    (src/multiphase/library.jl:9-31) is dead code that
                    never produced a field.
     'PcP'/'ScS' -> reflected_travel_times at the CMB
-    'PP'        -> reciprocity composition of two direct fields;
-                   requires `receivers` (returns one time per receiver)
+    'PP'/'SS'   -> reciprocity composition of two direct fields;
+                   requires `receivers` (returns one time per receiver;
+                   for SS pass the S-speed table as U)
+    'pP'/'sP'/'sS'/'pS' (case-sensitive: lowercase = the up leg from a
+                   BURIED source) -> free-surface depth phases via
+                   depth_phase_travel_times; requires `receivers`, and
+                   `Us` when either leg is S
     """
+    if phase in ("pP", "sP", "sS", "pS"):
+        if receivers is None:
+            raise ValueError(f"{phase} needs explicit receivers")
+        if "s" in phase.lower() and Us is None:
+            raise ValueError(f"{phase} has an S leg: pass Us (the "
+                             "S-speed node table) alongside U (P-speed)")
+        U_of = {"p": U, "s": Us}
+        return depth_phase_travel_times(
+            A, halo, source, gr, U_of[phase[0]], U_of[phase[1].lower()],
+            receivers, config=config, interpret=interpret)
     p = phase.upper()
     if p in ("P", "S", "PDIFF", "SDIFF"):
         from .api import AnnulusSolver
@@ -443,9 +524,9 @@ def phase_travel_times(
                                       interpret=interpret, _reuse=_reuse,
                                       engine=engine)
         return dist if receivers is None else dist[np.asarray(receivers)]
-    if p == "PP":
+    if p in ("PP", "SS"):
         if receivers is None:
-            raise ValueError("PP needs explicit receivers")
+            raise ValueError(f"{p} needs explicit receivers")
         from .api import AnnulusSolver
 
         solver = AnnulusSolver(gr, A, halo, U, config,
@@ -457,4 +538,5 @@ def phase_travel_times(
             out.append(pp_travel_times(t_src, t_rcv, gr, source, int(r_)))
         return np.asarray(out)
     raise ValueError(f"unknown phase {phase!r}; supported: P, S, Pdiff, "
-                     f"Sdiff, PcP, ScS, PP, SKS, PKP, PKIKP, SKP, PKS")
+                     f"Sdiff, PcP, ScS, PP, SS, SKS, PKP, PKIKP, SKP, "
+                     f"PKS, pP, sP, sS, pS")
