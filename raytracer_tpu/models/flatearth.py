@@ -663,9 +663,20 @@ def depth_phase_first_arrival(delta_deg, source_depth_km: float,
     out = np.full(dd.shape, np.nan)
     pout = np.full(dd.shape, np.nan)
     if pg.size:
-        d_lo, d_hi = float(np.min(delta)), float(np.max(delta))
+        # gate per-point against actual branch coverage, not just the
+        # global [min,max] window: if the composed branch's delta
+        # samples ever have an interior gap, the tau-p envelope must
+        # return NaN there instead of silently extrapolating across it
+        d_sorted = np.sort(delta)
+        gaps = np.diff(d_sorted)
+        cov_tol = max(3.0 * float(np.median(gaps)) if gaps.size else 0.0,
+                      1e-9)
         for i, d in enumerate(np.deg2rad(dd)):
-            if d_lo - 1e-12 <= d <= d_hi + 1e-12:
+            k_near = int(np.searchsorted(d_sorted, d))
+            near = min(abs(d - d_sorted[j])
+                       for j in (max(k_near - 1, 0),
+                                 min(k_near, d_sorted.size - 1)))
+            if near <= cov_tol:
                 t_env = tau + pg * d
                 k = int(np.argmin(t_env))
                 out[i], pout[i] = t_env[k], pg[k]
@@ -683,6 +694,9 @@ def depth_from_depth_phase(delay_s: float, delta_deg: float,
     then fix the depth from the pP-P (or sP-P / sS-S) delay, which is
     monotone increasing in depth.  Bisection on the anchor's own delay
     curve; raises if the delay is outside the bracket's range."""
+    if phase not in _DEPTH_PHASES:
+        raise ValueError(f"unknown depth phase {phase!r}; one of "
+                         f"{sorted(_DEPTH_PHASES)}")
     main_w = _DEPTH_PHASES[phase][1]
     m_main = table_model(model, main_w)
 

@@ -439,7 +439,16 @@ def depth_phase_travel_times(
         fr = np.roll(f, -1)
         is_min = (np.isfinite(f) & (f <= fl) & (f <= fr)
                   & ((f < fl) | (f < fr)))
-        is_min[surf == int(r_)] = False   # the direct-arrival collapse
+        # degenerate collapses: the receiver's own node (direct-arrival
+        # collapse) plus its two ring neighbours, where f decays
+        # monotonically into the collapse and f32 grid noise could flag
+        # a spurious "local minimum" a hair above the direct arrival;
+        # and the source's own node when the source sits on the surface
+        # (f(source)=direct arrival, documented to return inf)
+        rcv_pos = np.flatnonzero(surf == int(r_))
+        for pos in rcv_pos:
+            is_min[[pos, (pos - 1) % len(surf), (pos + 1) % len(surf)]] = False
+        is_min[surf == int(source)] = False
         out[j] = float(np.min(f[is_min])) if is_min.any() else np.inf
     return out
 

@@ -149,6 +149,10 @@ if __name__ == "__main__":
     cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                          ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
+    # cache even the tiny parity programs: under the axon tunnel each
+    # remote compile costs ~0.4 s-minutes (erratic), and this script's
+    # wall-clock budget inside bench.py depends on warm hits
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.25)
     if not _tpu_available():
         print("SKIP: no TPU visible")
         sys.exit(0)
