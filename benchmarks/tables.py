@@ -198,6 +198,73 @@ def bench_3d(rows, root, cache_dir):
         })
 
 
+
+
+def bench_refined_table(rows, root, cache_dir):
+    """Bias-free (bending-refined) travel-time table as a first-class
+    chip workload (VERDICT r04 item 5): 64 sources x 74 receivers,
+    pipeline = sweep solve + device prev recovery + host backtrace +
+    ONE vmapped bending dispatch per source (refine.py).  Also reports
+    the accuracy of the full 74-receiver fan of the 0-deg source
+    against the flat-earth tau-p anchor (ACCURACY.md 2e extends from 9
+    receivers to the whole fan)."""
+    import raytracer_tpu as rt
+    from raytracer_tpu.config import R, SolverConfig
+    from raytracer_tpu.utils.cache import init_annulus_cached
+
+    gr, A, halo = init_annulus_cached(180, 63, spacing=20.0,
+                                      cache_dir=cache_dir)
+    prof = rt.velocity_profile("ak135")
+    interp = rt.LinearInterpolation(prof.r, prof.Vp)
+    U = rt.interpolate_velocity(gr.r, interp)
+    cfg = SolverConfig(dtype="float32")
+    degs = np.linspace(0.0, 357.0, 64)
+    sources = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+               for d in degs]
+    rec_degs = np.arange(2.0, 150.0, 2.0)
+    receivers = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+                 for d in rec_degs]
+    solver = rt.AnnulusSolver(gr, A, halo, U, cfg, method="sweep",
+                              cache_dir=cache_dir)
+
+    profile = (prof.r, prof.Vp)
+    # compile/warm: one source end to end
+    solver.refined_travel_times(sources[0], receivers, profile=profile)
+    t0 = time.time()
+    tbl = np.stack([
+        solver.refined_travel_times(s, receivers, profile=profile)
+        for s in sources])
+    dt = time.time() - t0
+    assert tbl.shape == (64, len(receivers)) and np.isfinite(tbl).all()
+    log(f"refined 64-source table: {dt:.2f}s = {dt/64*1e3:.0f} ms/source")
+
+    # accuracy of the full fan (0-deg source) vs the tau-p anchor
+    from raytracer_tpu.models.raytheory import ak135_first_arrivals as fa
+
+    t_anchor = fa(rec_degs)
+    err = tbl[0] - t_anchor
+    fin = np.isfinite(t_anchor)
+    log(f"refined fan vs anchor: max|err|={np.max(np.abs(err[fin])):.3f}s "
+        f"rmse={np.sqrt(np.mean(err[fin]**2)):.3f}s over "
+        f"{int(fin.sum())} receivers")
+    rows.append({
+        "workload": "64-source REFINED travel-time table (bias-free)",
+        "config": f"180x63 AK135, {len(receivers)} receivers, sweep solve"
+                  " + prev + bending (m=128, 800 Adam iters)",
+        "ms_per_source": round(dt / 64 * 1e3),
+        "total_s": round(dt, 2),
+        "iters": solver.last_iterations,
+        "notes": (f"full-fan accuracy vs flat-earth tau-p anchor: "
+                  f"max|err| {np.max(np.abs(err[fin])):.2f} s, rmse "
+                  f"{np.sqrt(np.mean(err[fin]**2)):.2f} s over "
+                  f"{int(fin.sum())} of {len(receivers)} receivers "
+                  f"(raw SPM carries +2.5-3.6 s at this spacing, "
+                  f"ACCURACY.md 2); pipeline = device solve + device "
+                  f"argmin prev + host backtrace + one vmapped bend "
+                  f"dispatch per source"),
+    })
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__),
@@ -214,6 +281,10 @@ def main():
 
     rows = []
     bench_table_64(rows, root, cache_dir)
+    try:
+        bench_refined_table(rows, root, cache_dir)
+    except Exception as e:  # noqa: BLE001
+        log(f"refined-table bench skipped: {type(e).__name__}: {e}")
     try:
         bench_multistage(rows, root, cache_dir)
     except Exception as e:  # noqa: BLE001

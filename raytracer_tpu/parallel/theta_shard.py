@@ -292,3 +292,190 @@ def solve_sweep_mesh_sharded(
     rows = np.asarray(_textract_jit(st.dist.reshape(S * nt, static.ML),
                                     cen2d, rounds, jm, jc, jcm, jv, S, nt))
     return rows[:S0, :-1], int(rows[0, -1])
+
+
+def _staged_block_fn(static, max_rounds: int, D: int,
+                     resets, cen_keeps, halos, n_stages: int):
+    """Per-device staged block Gauss-Seidel closure: the sharded
+    counterpart of ops/sweep_theta.py::_solve_sweep_staged_jit.  Stage
+    masks (slot-space resets) and the twin halo min-merge are LANE-space
+    operations within each theta column, so they shard along theta with
+    zero extra collectives; only the ring halo, centre-fan pmin and the
+    convergence psum cross devices - identical per-round comm volume to
+    the plain sharded solve."""
+    nt, ML = static.nt, static.ML
+    ntl = nt // D
+    perm_fwd = [(i, (i + 1) % D) for i in range(D)]
+    perm_bwd = [((i + 1) % D, i) for i in range(D)]
+
+    def block(stage_tbls, reset_keeps, halo_maps, src_m, src_c, src_cen,
+              tol):
+        dtype = stage_tbls[0].wg[0].dtype
+        inf = jnp.asarray(jnp.inf, dtype)
+        zero = jnp.zeros((), dtype)
+        bid = jax.lax.axis_index(THETA_AXIS)
+        col = bid * ntl + jnp.arange(ntl, dtype=jnp.int32)[None, :, None]
+        lane = jnp.arange(ML, dtype=jnp.int32)[None, None, :]
+        v = jnp.where((col == src_c[:, None, None])
+                      & (lane == src_m[:, None, None])
+                      & (~src_cen[:, None, None]), zero, inf)
+        cen = jnp.where(src_cen, zero, inf)
+        it = jnp.zeros((), jnp.int32)
+
+        for i in range(n_stages):
+            tbl = stage_tbls[i]
+            fan = tbl.fan_w[None, None, :]
+            fan_in = tbl.fan_in[None, None, :]
+            if resets[i]:
+                v = jnp.where(reset_keeps[i][None, None, :], v, inf)
+                if not cen_keeps[i]:
+                    cen = jnp.full_like(cen, jnp.inf)
+
+            def rnd(state: SweepState, tbl=tbl, fan=fan, fan_in=fan_in,
+                    stage=i) -> SweepState:
+                v, cen = state.dist, state.cen
+                cen_loc = jnp.min(v + fan_in, axis=(1, 2))
+                cen = jnp.minimum(cen, jax.lax.pmin(cen_loc, THETA_AXIS))
+                v = jnp.minimum(v, cen[:, None, None] + fan)
+                left = jax.lax.ppermute(v[:, -2:, :], THETA_AXIS, perm_fwd)
+                right = jax.lax.ppermute(v[:, :2, :], THETA_AXIS, perm_bwd)
+                v = _sweep(v, tbl, static, reverse=False,
+                           carry_init=(left[:, 1], left[:, 0]))
+                v = _sweep(v, tbl, static, reverse=True,
+                           carry_init=(right[:, 0], right[:, 1]))
+                if halos[stage]:
+                    # unmasked twin min-merge, improvement-gated against
+                    # the round-start field (src/SSSP/bfm.jl:54-62) -
+                    # lane-space, local to each column shard
+                    hm = halo_maps[stage]
+                    pv = v[:, :, hm]
+                    improved = pv < state.dist[:, :, hm]
+                    pv = jnp.where(improved, pv, jnp.asarray(jnp.inf, dtype))
+                    v = jnp.minimum(v, jnp.min(pv, axis=2))
+                changed_loc = (jnp.any(v < state.dist - tol)
+                               | jnp.any(cen < state.cen - tol))
+                changed = jax.lax.psum(
+                    changed_loc.astype(jnp.int32), THETA_AXIS) > 0
+                return SweepState(v, cen, changed, state.it + 1)
+
+            def cond(s: SweepState):
+                return s.changed & (s.it < max_rounds)
+
+            st = jax.lax.while_loop(
+                cond, rnd, SweepState(v, cen, jnp.asarray(True), it))
+            v, cen, it = st.dist, st.cen, st.it
+
+        fan = stage_tbls[-1].fan_w[None, None, :]
+        fan_in = stage_tbls[-1].fan_in[None, None, :]
+        cen_loc = jnp.min(v + fan_in, axis=(1, 2))
+        cen = jnp.minimum(cen, jax.lax.pmin(cen_loc, THETA_AXIS))
+        v = jnp.minimum(v, cen[:, None, None] + fan)
+        return SweepState(v, cen, st.changed, it)
+
+    return block
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("static", "max_rounds", "S", "mesh",
+                                    "resets", "cen_keeps", "halos"))
+def _solve_staged_theta_sharded_jit(src_m, src_c, src_cen, stage_tbls,
+                                    reset_keeps, halo_maps, tol, static,
+                                    max_rounds: int, S: int, mesh: Mesh,
+                                    resets, cen_keeps, halos):
+    block = _staged_block_fn(static, max_rounds, mesh.devices.size,
+                             resets, cen_keeps, halos, len(stage_tbls))
+    fn = jax.shard_map(
+        block, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=SweepState(P(None, THETA_AXIS, None), P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(stage_tbls, reset_keeps, halo_maps, src_m, src_c, src_cen,
+              tol)
+
+
+def solve_sweep_staged_theta_sharded(
+    cg: CirculantGraph,
+    ws,
+    stages,
+    sources,
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    mesh: Optional[Mesh] = None,
+    receivers=None,
+    max_rounds: int = None,
+) -> Tuple[np.ndarray, int]:
+    """Staged (region-masked / multi-leg) sweep solve over a
+    theta-sharded device mesh - the sharded engine for
+    solvers/phases.py's PcP/ScS/converted staged solves and
+    solvers/multiphase.py's layer sweeps (VERDICT r04 item 4: the
+    phases x domain-decomposition composition).  API mirrors
+    ops/sweep_theta.py::solve_sweep_staged; equality vs the
+    single-device staged engine is pinned in tests/test_theta_shard.py
+    and __graft_entry__.dryrun_multichip."""
+    from ..ops.sweep_theta import pack_sweep_tables as _pst
+
+    mesh = mesh if mesh is not None else make_theta_mesh()
+    dtype = jnp.dtype(config.dtype)
+    _, static = _pst(ws, cg, dtype)
+    if static.nt % mesh.devices.size:
+        raise ValueError(
+            f"ntheta={static.nt} not divisible by mesh size "
+            f"{mesh.devices.size}")
+    sources = np.atleast_1d(np.asarray(sources, dtype=np.int64))
+    cmap = cg.cmap
+    S = len(sources)
+    nt, ML = static.nt, static.ML
+
+    stage_tbls = tuple(sp.tables for sp in stages)
+    resets = tuple(sp.reset_keep is not None for sp in stages)
+    reset_keeps = tuple(
+        jnp.asarray(sp.reset_keep if sp.reset_keep is not None
+                    else np.ones(ML, dtype=bool))
+        for sp in stages)
+    cen_keeps = tuple(bool(sp.cen_keep) for sp in stages)
+    halos = tuple(sp.halo_map is not None for sp in stages)
+    halo_maps = tuple(
+        jnp.asarray(sp.halo_map if sp.halo_map is not None
+                    else np.arange(ML, dtype=np.int32)[None, :])
+        for sp in stages)
+
+    is_cen = sources == cmap.center
+    src_m = jnp.asarray(np.where(is_cen, 0, cmap.m_of[sources]), jnp.int32)
+    src_c = jnp.asarray(np.where(is_cen, 0, cmap.c_of[sources]), jnp.int32)
+    src_cen = jnp.asarray(is_cen)
+    tol = jnp.asarray(config.tol_value(), dtype)
+    cap = max_rounds if max_rounds is not None else config.max_iters
+
+    st = _solve_staged_theta_sharded_jit(
+        src_m, src_c, src_cen, stage_tbls, reset_keeps, halo_maps, tol,
+        static, cap, S, mesh, resets, cen_keeps, halos)
+
+    n_out, (jm, jc, jcm, jv) = _extract_cached(ws.dcache, cmap, receivers)
+    cen2d = jnp.broadcast_to(jnp.repeat(st.cen, LANES)[None, :],
+                             (SUB, S * LANES))
+    rows = np.asarray(_textract_jit(st.dist.reshape(S * nt, static.ML),
+                                    cen2d, st.it, jm, jc, jcm, jv, S, nt))
+    return rows[:, :-1], int(rows[0, -1])
+
+
+def station_fields_sharded(
+    cg: CirculantGraph,
+    stations,
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    mesh: Optional[Mesh] = None,
+) -> np.ndarray:
+    """(n_stations, n) station travel-time fields for the locator
+    (solvers/locate.py), the STATION axis data-parallel across the
+    device mesh (reciprocity: one solve per station; zero inter-shard
+    collectives) - the sharded form of locate.station_fields
+    (VERDICT r04 item 4).  Pass a (source x theta) mesh from
+    make_grid_mesh to also domain-decompose each field; a plain 1-D
+    mesh shards stations only."""
+    mesh = mesh if mesh is not None else make_grid_mesh(
+        len(jax.devices()), 1)
+    if SRC_AXIS not in mesh.shape:
+        # 1-D theta mesh: treat its devices as station shards
+        devs = list(mesh.devices.ravel())
+        mesh = make_grid_mesh(len(devs), 1, devs)
+    vals, _ = solve_sweep_mesh_sharded(cg, stations, config, mesh=mesh)
+    return vals

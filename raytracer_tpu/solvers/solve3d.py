@@ -35,17 +35,41 @@ from ..config import DEFAULT_SOLVER_CONFIG, SolverConfig
 from ..models.grid3d import Grid3D
 from ..ops.weights import _safe_weight
 
-SHIFTS = tuple(
-    (dk, dj, di)
-    for dk in (-1, 0, 1)
-    for dj in (-1, 0, 1)
-    for di in (-1, 0, 1)
-    if (dk, dj, di) != (0, 0, 0)
-)
+def shifts_star(star: int = 1):
+    """The star-`star` lattice stencil: every (dk, dj, di) in
+    {-star..star}^3 with gcd 1 (collinear multiples of a shorter shift
+    add no new direction - the two-hop chain through the midpoint is
+    already in the graph, so dropping them preserves the SPM fixpoint
+    up to the midpoint's velocity sampling, which only HELPS accuracy).
+    star=1 is the 26-tap stencil (the reference's 3-D neighbourhood,
+    src/StructuredGrid.jl:121-168); star=2 adds the 72 gcd-1 two-cell
+    directions (98 taps), halving the worst-case angular quantisation
+    ~19 deg -> ~9.7 deg and quartering the SPM overshoot; star=3 is
+    290 taps (~6.5 deg).  The angular-refinement analog of the
+    reference's nodal_incidence star expansion
+    (src/StructuredGrid.jl:203-223), but by DIRECTION, not hop count."""
+    import math
+
+    out = []
+    rng = range(-star, star + 1)
+    for dk in rng:
+        for dj in rng:
+            for di in rng:
+                if (dk, dj, di) == (0, 0, 0):
+                    continue
+                if math.gcd(math.gcd(abs(dk), abs(dj)), abs(di)) != 1:
+                    continue
+                out.append((dk, dj, di))
+    return tuple(out)
 
 
-def _shifted_weights(gr: Grid3D, U: np.ndarray, dtype=np.float32) -> np.ndarray:
-    """(26, n2, n1, n0) per-shift edge weights, +inf across box faces.
+SHIFTS = shifts_star(1)
+
+
+def _shifted_weights(gr: Grid3D, U: np.ndarray, dtype=np.float32,
+                     shifts=SHIFTS) -> np.ndarray:
+    """(n_shifts, n2, n1, n0) per-shift edge weights, +inf across box
+    faces.
 
     W[s, k, j, i] = weight of the edge from node (i+di, j+dj, k+dk) into
     node (i, j, k) for shift s = (dk, dj, di).
@@ -57,31 +81,32 @@ def _shifted_weights(gr: Grid3D, U: np.ndarray, dtype=np.float32) -> np.ndarray:
     Z = gr.z.reshape(shp)
     Ug = np.asarray(U, dtype=np.float64).reshape(shp)
 
-    W = np.full((len(SHIFTS),) + shp, np.inf, dtype=np.float64)
-    for s, (dk, dj, di) in enumerate(SHIFTS):
+    W = np.full((len(shifts),) + shp, np.inf, dtype=np.float64)
+    for s, (dk, dj, di) in enumerate(shifts):
         src = tuple(np.roll(a, (-dk, -dj, -di), axis=(0, 1, 2)) for a in (X, Y, Z, Ug))
         L = np.sqrt((src[0] - X) ** 2 + (src[1] - Y) ** 2 + (src[2] - Z) ** 2)
         w = _safe_weight(L, Ug + src[3])
-        # mask wrapped entries (non-periodic box)
-        if dk == 1:
-            w[n2 - 1:, :, :] = np.inf
-        elif dk == -1:
-            w[:1, :, :] = np.inf
-        if dj == 1:
-            w[:, n1 - 1:, :] = np.inf
-        elif dj == -1:
-            w[:, :1, :] = np.inf
-        if di == 1:
-            w[:, :, n0 - 1:] = np.inf
-        elif di == -1:
-            w[:, :, :1] = np.inf
+        # mask wrapped entries (non-periodic box): a shift of +-d along
+        # an axis wraps the last/first d planes
+        if dk > 0:
+            w[n2 - dk:, :, :] = np.inf
+        elif dk < 0:
+            w[:-dk, :, :] = np.inf
+        if dj > 0:
+            w[:, n1 - dj:, :] = np.inf
+        elif dj < 0:
+            w[:, :-dj, :] = np.inf
+        if di > 0:
+            w[:, :, n0 - di:] = np.inf
+        elif di < 0:
+            w[:, :, :-di] = np.inf
         W[s] = w
     return W.astype(dtype)
 
 
-def _sweep(dist: jax.Array, W: jax.Array) -> jax.Array:
+def _sweep(dist: jax.Array, W: jax.Array, shifts=SHIFTS) -> jax.Array:
     out = dist
-    for s, (dk, dj, di) in enumerate(SHIFTS):
+    for s, (dk, dj, di) in enumerate(shifts):
         src = jnp.roll(dist, shift=(-dk, -dj, -di), axis=(0, 1, 2))
         out = jnp.minimum(out, src + W[s])
     return out
@@ -130,7 +155,8 @@ def _sweep_layout3d(W, scan_costs, axis: int):
     return (xs_W,) + tuple(xs_c)
 
 
-def _plane_sweep3d(d, layout, axis: int, down: bool, carry_init=None):
+def _plane_sweep3d(d, layout, axis: int, down: bool, carry_init=None,
+                   shifts=SHIFTS):
     """One Gauss-Seidel plane sweep along `axis` (directional sweeping).
 
     Planes are processed sequentially (a lax.scan over the axis,
@@ -149,40 +175,53 @@ def _plane_sweep3d(d, layout, axis: int, down: bool, carry_init=None):
     processed) -- +inf when None (the box face); the node-sharded solver
     (parallel/shard3d.py) passes the neighbour block's halo plane."""
     sgn = +1 if down else -1
-    cross = [s for s, sh in enumerate(SHIFTS) if sh[axis] == sgn]
-    inpl = [s for s, sh in enumerate(SHIFTS) if sh[axis] == 0]
+    reach = max(abs(sh[axis]) for sh in shifts)
+    # cross[m-1]: taps reading the plane processed m steps ago (shift
+    # m*sgn along the sweep axis); taps with the OPPOSITE axis sign are
+    # applied by the other direction's pass of the same round
+    cross = [[s for s, sh in enumerate(shifts) if sh[axis] == m * sgn]
+             for m in range(1, reach + 1)]
+    inpl = [s for s, sh in enumerate(shifts) if sh[axis] == 0]
     oaxes = [a for a in (0, 1, 2) if a != axis]
 
     def pl_shift(s):
-        sh = SHIFTS[s]
+        sh = shifts[s]
         return (sh[oaxes[0]], sh[oaxes[1]])
 
     xs_d = jnp.moveaxis(d, axis, 0)
 
-    def step(prev, x):
+    def step(prevs, x):
         cur, Wp, c0f, c0b, c1f, c1b = x
-        for s in cross:
-            da, db = pl_shift(s)
-            cur = jnp.minimum(cur, jnp.roll(prev, (-da, -db), axis=(0, 1))
-                              + Wp[s])
+        for m in range(reach):
+            for s in cross[m]:
+                da, db = pl_shift(s)
+                cur = jnp.minimum(cur,
+                                  jnp.roll(prevs[m], (-da, -db), axis=(0, 1))
+                                  + Wp[s])
         for s in inpl:
             da, db = pl_shift(s)
             cur = jnp.minimum(cur, jnp.roll(cur, (-da, -db), axis=(0, 1))
                               + Wp[s])
         cur = _axis_scan(cur, c0f, c0b, 0)
         cur = _axis_scan(cur, c1f, c1b, 1)
-        return cur, cur
+        return (cur,) + prevs[:-1], cur
 
-    init = (jnp.full_like(xs_d[0], jnp.inf) if carry_init is None
-            else carry_init)
+    inf_pl = jnp.full_like(xs_d[0], jnp.inf)
+    if carry_init is None:
+        init = (inf_pl,) * reach
+    elif isinstance(carry_init, tuple):
+        init = carry_init + (inf_pl,) * (reach - len(carry_init))
+    else:   # single halo plane (parallel/shard3d.py, star-1 contract)
+        init = (carry_init,) + (inf_pl,) * (reach - 1)
     _, ys = jax.lax.scan(step, init, (xs_d,) + layout, reverse=down)
     return jnp.moveaxis(ys, 0, axis)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "axes", "S"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "axes", "S",
+                                              "shifts"))
 def _solve3d_sweep_jit(srcs, W, scan_costs, tol, max_iters: int,
                        axes: Tuple[int, ...] = (0, 1, 2),
-                       S: int = 1) -> Solve3DState:
+                       S: int = 1, shifts=SHIFTS) -> Solve3DState:
     """Directional-sweep solve: down+up plane sweeps along each axis per
     round; converges in ~2-3 rounds where the Jacobi engines take
     O(n0+n1+n2) iterations (tests pin equality).  `it` counts ROUNDS.
@@ -194,26 +233,28 @@ def _solve3d_sweep_jit(srcs, W, scan_costs, tol, max_iters: int,
     dist0 = (jnp.arange(n, dtype=jnp.int32)[None, :] == srcs[:, None])
     dist0 = jnp.where(dist0, jnp.zeros((), W.dtype),
                       jnp.asarray(jnp.inf, W.dtype)).reshape((S,) + shp)
-    return _sweep_fix(dist0, W, scan_costs, tol, max_iters, axes, S)
+    return _sweep_fix(dist0, W, scan_costs, tol, max_iters, axes, S, shifts)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "axes", "S"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "axes", "S",
+                                              "shifts"))
 def _solve3d_sweep_init_jit(dist0, W, scan_costs, tol, max_iters: int,
                             axes: Tuple[int, ...] = (0, 1, 2),
-                            S: int = 1) -> Solve3DState:
+                            S: int = 1, shifts=SHIFTS) -> Solve3DState:
     """Directional-sweep solve from an arbitrary (S,)+shape initial
     field (multi-seed restarts: staged reflections, multiphase legs)."""
-    return _sweep_fix(dist0, W, scan_costs, tol, max_iters, axes, S)
+    return _sweep_fix(dist0, W, scan_costs, tol, max_iters, axes, S, shifts)
 
 
 def _sweep_fix(dist0, W, scan_costs, tol, max_iters: int,
-               axes: Tuple[int, ...], S: int) -> Solve3DState:
+               axes: Tuple[int, ...], S: int,
+               shifts=SHIFTS) -> Solve3DState:
     layouts = {a: _sweep_layout3d(W, scan_costs, a) for a in axes}
 
     def round_one(d):
         for a in axes:
-            d = _plane_sweep3d(d, layouts[a], a, True)
-            d = _plane_sweep3d(d, layouts[a], a, False)
+            d = _plane_sweep3d(d, layouts[a], a, True, shifts=shifts)
+            d = _plane_sweep3d(d, layouts[a], a, False, shifts=shifts)
         return d
 
     def body(s: Solve3DState):
@@ -230,8 +271,10 @@ def _sweep_fix(dist0, W, scan_costs, tol, max_iters: int,
                                  jnp.zeros((), jnp.int32)))
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "scan_every"))
-def _solve3d_jit(src, W, scan_costs, tol, max_iters: int, scan_every: int) -> Solve3DState:
+@functools.partial(jax.jit, static_argnames=("max_iters", "scan_every",
+                                              "shifts"))
+def _solve3d_jit(src, W, scan_costs, tol, max_iters: int, scan_every: int,
+                 shifts=SHIFTS) -> Solve3DState:
     """src: flat source node id (scalar).  The initial field is built on
     device (the 4 MB dist0 upload costs ~35 ms over the axon tunnel)."""
     shp = W.shape[1:]
@@ -255,7 +298,7 @@ def _solve3d_jit(src, W, scan_costs, tol, max_iters: int, scan_every: int) -> So
             d = scans(d)
         elif scan_every > 1:
             d = jax.lax.cond(s.it % scan_every == 0, scans, lambda x: x, d)
-        d = _sweep(d, W)
+        d = _sweep(d, W, shifts)
         changed = jnp.any(d < s.dist - tol)
         return Solve3DState(d, changed, s.it + 1)
 
@@ -269,18 +312,23 @@ class Packed3D(NamedTuple):
     plan: object        # ops.sweep3d.Sweep3DPlan (static layout)
     dcache: dict        # lazy device uploads: 'W' (xla) / 'W4' (pallas) -
                         # each engine pins only its own ~109 MB layout
+    shifts: tuple = SHIFTS   # the stencil (star-1 default; shifts_star(k))
 
 
-def prepare3d(gr: Grid3D, U: np.ndarray, config: SolverConfig = DEFAULT_SOLVER_CONFIG) -> Packed3D:
-    """Precompute arrays for repeated solve3d calls."""
-    from ..ops.sweep3d import plan_sweep3d
-
+def prepare3d(gr: Grid3D, U: np.ndarray,
+              config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+              star: int = 1) -> Packed3D:
+    """Precompute arrays for repeated solve3d calls.  star >= 2 widens
+    the stencil (shifts_star) to cut the angular discretisation bias;
+    the Pallas kernel plan is star-1-only, so wider stencils route to
+    the sweep/xla engines."""
+    shifts = shifts_star(star)
     dtype = np.dtype(config.dtype)
-    W = _shifted_weights(gr, U, dtype)
+    W = _shifted_weights(gr, U, dtype, shifts)
     # axis scans: axis 0 = k (r), 1 = j (phi), 2 = i (theta);
     # forward cost entering t from t-1 = weight of shift -1 along that axis
     def shift_w(dk, dj, di):
-        return jnp.asarray(W[SHIFTS.index((dk, dj, di))])
+        return jnp.asarray(W[shifts.index((dk, dj, di))])
 
     scan_costs = (
         (shift_w(-1, 0, 0), shift_w(1, 0, 0)),
@@ -288,9 +336,15 @@ def prepare3d(gr: Grid3D, U: np.ndarray, config: SolverConfig = DEFAULT_SOLVER_C
         (shift_w(0, 0, -1), shift_w(0, 0, 1)),
     )
     n0, n1, n2 = gr.nnods
-    plan = plan_sweep3d(W)
+    if star == 1:
+        from ..ops.sweep3d import plan_sweep3d
+
+        plan = plan_sweep3d(W)
+    else:
+        plan = None
     return Packed3D(W_np=W, scan_costs=scan_costs,
-                    shape=(n2, n1, n0), plan=plan, dcache={})
+                    shape=(n2, n1, n0), plan=plan, dcache={},
+                    shifts=shifts)
 
 
 def _kernel_vmem_bytes(plan, itemsize: int, S: int = 1) -> int:
@@ -449,8 +503,8 @@ def _flat3d_it(dist, it):
     return jnp.concatenate([flat, it.astype(flat.dtype)[None]])
 
 
-@jax.jit
-def _prev3d_jit(dist3, W, src):
+@functools.partial(jax.jit, static_argnames=("shifts",))
+def _prev3d_jit(dist3, W, src, shifts=SHIFTS):
     """Predecessor tree from a converged field: per node, the neighbour
     attaining min_s dist[nbr_s] + W[s] (the fixpoint condition; ties by
     first shift).  Source and unreachable nodes point to themselves."""
@@ -459,7 +513,7 @@ def _prev3d_jit(dist3, W, src):
     ids = jnp.arange(n, dtype=jnp.int32).reshape(shape)
     best = jnp.full(shape, jnp.inf, dist3.dtype)
     prev = ids
-    for s, (dk, dj, di) in enumerate(SHIFTS):
+    for s, (dk, dj, di) in enumerate(shifts):
         cand = jnp.roll(dist3, (-dk, -dj, -di), axis=(0, 1, 2)) + W[s]
         nid = jnp.roll(ids, (-dk, -dj, -di), axis=(0, 1, 2))
         take = cand < best
@@ -471,7 +525,7 @@ def _prev3d_jit(dist3, W, src):
 
 def recover_prev3d(gr: Grid3D, U: np.ndarray, dist, sources,
                    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
-                   _packed: Packed3D = None):
+                   _packed: Packed3D = None, star: int = 1):
     """(S, nnods) int32 predecessor trees for converged solve3d fields.
 
     The reference's 3-D Dijkstra keeps a prev dict and walks it
@@ -481,7 +535,8 @@ def recover_prev3d(gr: Grid3D, U: np.ndarray, dist, sources,
     Feed rows to `recontruct_path`/`backtrace_paths`/`path_sensitivity`
     (no halo in 3-D).  Every chosen edge has w > 0, so backtraces
     strictly descend and terminate at the source."""
-    packed = _packed if _packed is not None else prepare3d(gr, U, config)
+    packed = _packed if _packed is not None else prepare3d(gr, U, config,
+                                                           star=star)
     if "W" not in packed.dcache:
         packed.dcache["W"] = jnp.asarray(packed.W_np)
     W = packed.dcache["W"]
@@ -492,7 +547,8 @@ def recover_prev3d(gr: Grid3D, U: np.ndarray, dist, sources,
     else:
         d = d.reshape((len(sources),) + packed.shape)
     out = [
-        _prev3d_jit(jnp.asarray(d[i]), W, jnp.asarray(sources[i]))
+        _prev3d_jit(jnp.asarray(d[i]), W, jnp.asarray(sources[i]),
+                    packed.shifts)
         for i in range(len(sources))
     ]
     return np.stack([np.asarray(p) for p in out])
@@ -510,6 +566,7 @@ def solve3d(
     source_batch: int = 0,
     interpret: bool = False,
     _packed: Packed3D = None,
+    star: int = 1,
 ) -> Tuple[np.ndarray, int]:
     """(S, nnods) distance fields on the structured 3-D grid; with
     `receivers` (node ids), (S, n_receivers) gathered on device — the
@@ -539,7 +596,9 @@ def solve3d(
     The star-0 stencil solve; star-1 graphs (element-neighbour expansion)
     fall back to the generic ELL solver (bfm.bfm3d).
     """
-    packed = _packed if _packed is not None else prepare3d(gr, U, config)
+    packed = _packed if _packed is not None else prepare3d(gr, U, config,
+                                                           star=star)
+    shifts = packed.shifts
     shp = packed.shape
     dtype = np.dtype(config.dtype)
     sources = np.atleast_1d(np.asarray(sources, dtype=np.int64))
@@ -552,8 +611,14 @@ def solve3d(
         import jax as _jax
 
         on_tpu = _jax.devices()[0].platform == "tpu"
-        fits = _kernel_vmem_bytes(packed.plan, dtype.itemsize) < 100 * 2**20
-        engine = "pallas" if (on_tpu and fits) else "xla"
+        fits = (packed.plan is not None
+                and _kernel_vmem_bytes(packed.plan, dtype.itemsize)
+                < 100 * 2**20)
+        engine = "pallas" if (on_tpu and fits) else (
+            "xla" if len(shifts) == 26 else "sweep")
+    if engine == "pallas" and packed.plan is None:
+        raise ValueError("engine='pallas' supports the star-1 stencil "
+                         "only; use engine='sweep' or 'xla' for star>=2")
     if scan_every is None:
         scan_every = 0 if engine == "pallas" else 8
 
@@ -564,7 +629,8 @@ def solve3d(
     # overlaps the next source's device work)
     pending = []
     plan = packed.plan
-    statics = (plan.n1, plan.BR, plan.NB, plan.L0, plan.H8, packed.shape)
+    statics = (None if plan is None else
+               (plan.n1, plan.BR, plan.NB, plan.L0, plan.H8, packed.shape))
     # NOTE: not dcache.setdefault(key, jnp.asarray(...)) — setdefault
     # evaluates its default EAGERLY, which would dispatch the ~109 MB
     # weight upload on every call (~0.8 s over the tunnel) and discard
@@ -586,7 +652,8 @@ def solve3d(
                 g_src = np.concatenate(
                     [g_src, np.full(S - len(g_src), g_src[-1], np.int32)])
             st = _solve3d_sweep_jit(g_src, Wdev, packed.scan_costs, tol,
-                                    config.max_iters, (0, 1, 2), S)
+                                    config.max_iters, (0, 1, 2), S,
+                                    shifts)
             pending.append((len(grp),
                             _flat3d_it_batched(st.dist, st.it) if ridx is None
                             else _gather3d_it_batched(st.dist, st.it, ridx)))
@@ -633,7 +700,7 @@ def solve3d(
                                      sweeps, interpret)
         else:
             st = _solve3d_jit(np.int32(src), Wdev, packed.scan_costs, tol,
-                              config.max_iters, scan_every)
+                              config.max_iters, scan_every, shifts)
         pending.append(_flat3d_it(st.dist, st.it) if ridx is None
                        else _gather3d_it(st.dist, st.it, ridx))
     iters = 0
@@ -644,13 +711,14 @@ def solve3d(
     return out, iters
 
 
-def mask_region3d(W: np.ndarray, keep: np.ndarray) -> np.ndarray:
+def mask_region3d(W: np.ndarray, keep: np.ndarray,
+                  shifts=SHIFTS) -> np.ndarray:
     """Copy of the (26, n2, n1, n0) shifted weights with every edge
     touching a node OUTSIDE `keep` (dense (n2, n1, n0) bool) removed --
     the dense-lattice form of the 2-D phase machinery's stage masks
     (solvers/phases.py)."""
     Wm = np.array(W, copy=True)
-    for s, (dk, dj, di) in enumerate(SHIFTS):
+    for s, (dk, dj, di) in enumerate(shifts):
         src_keep = np.roll(keep, (-dk, -dj, -di), axis=(0, 1, 2))
         Wm[s][~keep] = np.inf
         Wm[s][~src_keep] = np.inf
@@ -664,6 +732,7 @@ def solve3d_reflection(
     r_reflect: float,
     config: SolverConfig = DEFAULT_SOLVER_CONFIG,
     receivers=None,
+    star: int = 1,
 ) -> Tuple[np.ndarray, int]:
     """Two-stage topside reflection on the 3-D grid (PcP for the CMB):
     stage A solves the region ABOVE the reflector from the sources;
@@ -678,39 +747,33 @@ def solve3d_reflection(
     n_receivers) -- and the total sweep-round count).
     """
     dtype = np.dtype(config.dtype)
+    shifts = shifts_star(star)
     shp3 = (gr.nnods[2], gr.nnods[1], gr.nnods[0])
-    W = _shifted_weights(gr, U, dtype)
+    W = _shifted_weights(gr, U, dtype, shifts)
     keep = (gr.r >= r_reflect - 1e-6).reshape(shp3)
-    Wm = jnp.asarray(mask_region3d(W, keep))
-
-    def shift_w(Warr, dk, dj, di):
-        return Warr[SHIFTS.index((dk, dj, di))]
-
-    scan_costs = tuple(
-        (shift_w(Wm, *a), shift_w(Wm, *b))
-        for a, b in (((-1, 0, 0), (1, 0, 0)), ((0, -1, 0), (0, 1, 0)),
-                     ((0, 0, -1), (0, 0, 1))))
+    Wm = jnp.asarray(mask_region3d(W, keep, shifts))
+    scan_costs = _scan_costs_of(Wm, shifts)
 
     sources = np.atleast_1d(np.asarray(sources, dtype=np.int64))
     S = len(sources)
     tol = jnp.asarray(config.tol_value(), dtype)
     stA = _solve3d_sweep_jit(jnp.asarray(sources), Wm, scan_costs, tol,
-                             config.max_iters, (0, 1, 2), S)
+                             config.max_iters, (0, 1, 2), S, shifts)
 
     lev = jnp.asarray((np.abs(gr.r - r_reflect) < 1e-6).reshape(shp3))
     inf = jnp.asarray(jnp.inf, dtype)
     d0B = jnp.where(lev[None], stA.dist, inf)
     stB = _solve3d_sweep_init_jit(d0B, Wm, scan_costs, tol,
-                                  config.max_iters, (0, 1, 2), S)
+                                  config.max_iters, (0, 1, 2), S, shifts)
     out = np.asarray(stB.dist.reshape(S, -1))
     if receivers is not None:
         out = out[:, np.asarray(receivers, dtype=np.int64).ravel()]
     return out, int(stA.it) + int(stB.it)
 
 
-def _scan_costs_of(Wm):
+def _scan_costs_of(Wm, shifts=SHIFTS):
     def shift_w(dk, dj, di):
-        return Wm[SHIFTS.index((dk, dj, di))]
+        return Wm[shifts.index((dk, dj, di))]
 
     return tuple(
         (shift_w(*a), shift_w(*b))
@@ -727,6 +790,7 @@ def solve3d_converted(
     U_up: Optional[np.ndarray] = None,
     config: SolverConfig = DEFAULT_SOLVER_CONFIG,
     receivers=None,
+    star: int = 1,
 ) -> Tuple[np.ndarray, int]:
     """Three-stage boundary-converted core transit on the 3-D grid —
     the structured-lattice counterpart of the 2-D
@@ -748,6 +812,7 @@ def solve3d_converted(
     topside region return +inf in the final field.
     """
     dtype = np.dtype(config.dtype)
+    shifts = shifts_star(star)
     shp3 = (gr.nnods[2], gr.nnods[1], gr.nnods[0])
     r_ax = np.asarray(gr.r_ax)
     k_top = int(np.argmin(np.abs(r_ax - r_boundary)))
@@ -763,13 +828,13 @@ def solve3d_converted(
     keep_top = (gr.r >= r_boundary - 1e-6).reshape(shp3)
     keep_core = (gr.r <= r_boundary - 1e-6).reshape(shp3)
     W_dn = jnp.asarray(mask_region3d(
-        _shifted_weights(gr, U_down, dtype), keep_top))
+        _shifted_weights(gr, U_down, dtype, shifts), keep_top, shifts))
     W_k = jnp.asarray(mask_region3d(
-        _shifted_weights(gr, U_core, dtype), keep_core))
+        _shifted_weights(gr, U_core, dtype, shifts), keep_core, shifts))
     W_up = W_dn if same_up else jnp.asarray(mask_region3d(
-        _shifted_weights(gr, U_up, dtype), keep_top))
-    sc_dn, sc_k = _scan_costs_of(W_dn), _scan_costs_of(W_k)
-    sc_up = sc_dn if same_up else _scan_costs_of(W_up)
+        _shifted_weights(gr, U_up, dtype, shifts), keep_top, shifts))
+    sc_dn, sc_k = _scan_costs_of(W_dn, shifts), _scan_costs_of(W_k, shifts)
+    sc_up = sc_dn if same_up else _scan_costs_of(W_up, shifts)
 
     sources = np.atleast_1d(np.asarray(sources, dtype=np.int64))
     S = len(sources)
@@ -777,16 +842,209 @@ def solve3d_converted(
     inf = jnp.asarray(jnp.inf, dtype)
 
     stA = _solve3d_sweep_jit(jnp.asarray(sources), W_dn, sc_dn, tol,
-                             config.max_iters, (0, 1, 2), S)
+                             config.max_iters, (0, 1, 2), S, shifts)
     d0K = jnp.full_like(stA.dist, inf).at[:, k_under].set(
         stA.dist[:, k_top])
     stK = _solve3d_sweep_init_jit(d0K, W_k, sc_k, tol,
-                                  config.max_iters, (0, 1, 2), S)
+                                  config.max_iters, (0, 1, 2), S, shifts)
     d0B = jnp.full_like(stK.dist, inf).at[:, k_top].set(
         jnp.minimum(stK.dist[:, k_under], stA.dist[:, k_top]))
     stB = _solve3d_sweep_init_jit(d0B, W_up, sc_up, tol,
-                                  config.max_iters, (0, 1, 2), S)
+                                  config.max_iters, (0, 1, 2), S, shifts)
     out = np.asarray(stB.dist.reshape(S, -1))
     if receivers is not None:
         out = out[:, np.asarray(receivers, dtype=np.int64).ravel()]
     return out, int(stA.it) + int(stK.it) + int(stB.it)
+
+
+def composite_velocity3d(gr: Grid3D, r_boundary: float,
+                         V_above, V_below) -> np.ndarray:
+    """Node velocities of the COMPOSITE radial model: `V_above`
+    interpolant for r >= r_boundary, `V_below` for r < r_boundary.
+
+    A boundary-converted phase class (SKS: S mantle legs + P core leg)
+    is exactly the Fermat first arrival of the composite model whose
+    speed is Vs above the CMB and Vp below it - conversion at the
+    crossing is Snell's law, which the continuous Fermat minimum
+    enforces automatically.  Feed the result to `solve3d` (any star) or
+    `refine3d_travel_times` for the bias-free bent time."""
+    rr = np.asarray(gr.r, np.float64)
+    above = rr >= r_boundary - 1e-9
+    out = np.where(above, np.asarray(V_above(rr), np.float64),
+                   np.asarray(V_below(rr), np.float64))
+    return out
+
+
+def refine3d_travel_times(
+    gr: Grid3D,
+    U: np.ndarray,
+    source: int,
+    receivers: Sequence[int],
+    profile_r: np.ndarray,
+    profile_v: np.ndarray,
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    star: int = 2,
+    m: int = 160,
+    iters: int = 800,
+    lr: float = 3.0,
+    engine: str = "sweep",
+    _packed: Packed3D = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Bias-free 3-D first arrivals: star-`star` SPM solve + prev
+    recovery + batched bending refinement (VERDICT r04 item 3 - the 2-D
+    cure of solvers/refine.py lifted to the lattice).
+
+    The SPM stage only needs to land the polyline in the right phase
+    class (its angular quantisation bias is then removed by the bend),
+    so star=2 suffices; the bent time is a strict upper bound of the
+    continuous Fermat minimum of (profile_r, profile_v) and lands
+    within quadrature error of ray theory (tests/test_grid3d_disc.py
+    pins <=1% vs the flat-earth anchor where SPM alone carried
+    +3.4-5.2%).  For converted phases pass the composite velocities
+    (`composite_velocity3d`) as both U and the profile.
+
+    Returns (times, spm_times): the refined and the raw SPM arrival per
+    receiver."""
+    from .path import recontruct_path
+    from .refine import refine_paths_batch
+
+    packed = _packed if _packed is not None else prepare3d(gr, U, config,
+                                                           star=star)
+    dist, _ = solve3d(gr, U, [source], config, engine=engine,
+                      _packed=packed)
+    prev = recover_prev3d(gr, U, dist, [source], config, _packed=packed)[0]
+    receivers = np.asarray(receivers, dtype=np.int64).ravel()
+    spm_t = np.asarray(dist[0])[receivers]
+    paths = [recontruct_path(prev, int(source), int(r_))
+             for r_ in receivers]
+    pts = [np.stack([gr.x[p], gr.y[p], gr.z[p]], axis=1) for p in paths]
+    r_max = float(np.max(gr.r))
+    _, t = refine_paths_batch(pts, profile_r, profile_v, m=m, iters=iters,
+                              lr=lr, r_max=r_max)
+    # bending is a descent from the SPM polyline: never worse
+    return np.minimum(np.asarray(t), spm_t), spm_t
+
+
+@functools.partial(jax.jit, static_argnames=("shifts",))
+def _prev3d_seeded_jit(dist3, W, shifts=SHIFTS):
+    """Stage-field predecessor tree: like _prev3d_jit, but a node whose
+    best neighbour candidate cannot explain its own time (its value came
+    from SEEDING - a stage handoff plane, not relaxation) points to
+    itself, so backtraces stop at the stage boundary."""
+    shape = dist3.shape
+    n = dist3.size
+    ids = jnp.arange(n, dtype=jnp.int32).reshape(shape)
+    best = jnp.full(shape, jnp.inf, dist3.dtype)
+    prev = ids
+    for s, (dk, dj, di) in enumerate(shifts):
+        cand = jnp.roll(dist3, (-dk, -dj, -di), axis=(0, 1, 2)) + W[s]
+        nid = jnp.roll(ids, (-dk, -dj, -di), axis=(0, 1, 2))
+        take = cand < best
+        best = jnp.where(take, cand, best)
+        prev = jnp.where(take, nid, prev)
+    eps = jnp.asarray(1e-3, dist3.dtype)
+    explained = jnp.isfinite(best) & (best <= dist3 * (1 + 1e-5) + eps)
+    prev = jnp.where(explained, prev, ids)
+    return prev.reshape(-1)
+
+
+def converted3d_refined(
+    gr: Grid3D,
+    U_down: np.ndarray,
+    U_core: np.ndarray,
+    source: int,
+    receivers: Sequence[int],
+    r_boundary: float,
+    profile_r: np.ndarray,
+    profile_v_mantle: np.ndarray,
+    profile_v_core: np.ndarray,
+    config: SolverConfig = DEFAULT_SOLVER_CONFIG,
+    star: int = 2,
+    m: int = 192,
+    iters: int = 800,
+    lr: float = 3.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Bias-free 3-D converted-phase (SKS-class) first arrivals: staged
+    star-`star` solve + per-stage path recovery + bending under the
+    COMPOSITE radial profile (mantle speed above r_boundary, core speed
+    below - Snell's law at the crossing emerges from the continuous
+    Fermat minimum).  VERDICT r04 item 3: the staged star-1 solve
+    carried +3.4-5.2% vs the tau-p anchor, star-2 +1.4-1.9%; the bent
+    time lands within quadrature error (<=1%, pinned in
+    tests/test_grid3d_disc.py).
+
+    The initial polyline comes from the STAGED fields (stage prevs via
+    `_prev3d_seeded_jit`, stage handoffs stitched through the twin
+    planes), which pins the phase CLASS; a plain composite-velocity SPM
+    solve would instead find interface-skimming paths whose graph edges
+    mix the two side velocities (measured -2% vs the anchor).
+
+    Returns (refined_times, spm_times) per receiver."""
+    from .path import recontruct_path
+    from .refine import refine_paths_batch
+
+    dtype = np.dtype(config.dtype)
+    shifts = shifts_star(star)
+    shp3 = (gr.nnods[2], gr.nnods[1], gr.nnods[0])
+    n0, n1 = gr.nnods[0], gr.nnods[1]
+    r_ax = np.asarray(gr.r_ax)
+    k_top = int(np.argmin(np.abs(r_ax - r_boundary)))
+    k_under = k_top - 1
+
+    keep_top = (gr.r >= r_boundary - 1e-6).reshape(shp3)
+    keep_core = (gr.r <= r_boundary - 1e-6).reshape(shp3)
+    W_dn = jnp.asarray(mask_region3d(
+        _shifted_weights(gr, U_down, dtype, shifts), keep_top, shifts))
+    W_k = jnp.asarray(mask_region3d(
+        _shifted_weights(gr, U_core, dtype, shifts), keep_core, shifts))
+    sc_dn = _scan_costs_of(W_dn, shifts)
+    sc_k = _scan_costs_of(W_k, shifts)
+
+    tol = jnp.asarray(config.tol_value(), dtype)
+    inf = jnp.asarray(jnp.inf, dtype)
+    src_a = jnp.asarray([int(source)])
+
+    stA = _solve3d_sweep_jit(src_a, W_dn, sc_dn, tol, config.max_iters,
+                             (0, 1, 2), 1, shifts)
+    d0K = jnp.full_like(stA.dist, inf).at[:, k_under].set(
+        stA.dist[:, k_top])
+    stK = _solve3d_sweep_init_jit(d0K, W_k, sc_k, tol, config.max_iters,
+                                  (0, 1, 2), 1, shifts)
+    d0B = jnp.full_like(stK.dist, inf).at[:, k_top].set(
+        stK.dist[:, k_under])
+    stB = _solve3d_sweep_init_jit(d0B, W_dn, sc_dn, tol, config.max_iters,
+                                  (0, 1, 2), 1, shifts)
+
+    prevA = np.array(_prev3d_seeded_jit(stA.dist[0], W_dn, shifts))
+    prevK = np.asarray(_prev3d_seeded_jit(stK.dist[0], W_k, shifts))
+    prevB = np.asarray(_prev3d_seeded_jit(stB.dist[0], W_dn, shifts))
+    prevA[int(source)] = int(source)
+    dB = np.asarray(stB.dist[0]).reshape(-1)
+    spm_t = dB[np.asarray(receivers, dtype=np.int64)]
+
+    plane = n0 * n1                      # flat stride of one r-level
+
+    def col_node(node, k):
+        """Node id at r-level k in the same (phi, theta) column."""
+        return int(node) % plane + k * plane
+
+    paths = []
+    for r_ in np.asarray(receivers, dtype=np.int64):
+        pB = recontruct_path(prevB, -1, int(r_))   # walk to its seed
+        pB = pB[:-1] if pB[-1] == -1 else pB       # (sentinel never hit)
+        e_top = int(pB[-1])
+        pK = recontruct_path(prevK, -1, col_node(e_top, k_under))
+        pK = pK[:-1] if pK[-1] == -1 else pK
+        s_under = int(pK[-1])
+        pA = recontruct_path(prevA, int(source), col_node(s_under, k_top))
+        nodes = np.concatenate([pB, pK, pA]).astype(np.int64)
+        paths.append(np.stack([gr.x[nodes], gr.y[nodes], gr.z[nodes]],
+                              axis=1))
+
+    rs = np.asarray(profile_r, np.float64)
+    v_comp = np.where(rs >= r_boundary,
+                      np.asarray(profile_v_mantle, np.float64),
+                      np.asarray(profile_v_core, np.float64))
+    _, t = refine_paths_batch(paths, rs, v_comp, m=m, iters=iters, lr=lr,
+                              r_max=float(np.max(gr.r)))
+    return np.asarray(t), spm_t

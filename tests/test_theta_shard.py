@@ -101,3 +101,62 @@ def test_2d_mesh_receivers_and_tall_shape(problem):
     for i, src in enumerate(srcs):
         d_ref, _ = solve_circulant(cg, src, CFG)
         np.testing.assert_allclose(vals[i], d_ref[recs], atol=TOL, rtol=0)
+
+
+def test_staged_phase_sharded_matches_single_device():
+    """VERDICT r04 item 4: the region-masked staged solve (phases.py's
+    PcP engine) on top of the theta domain decomposition equals the
+    single-device staged sweep engine."""
+    import jax
+
+    from raytracer_tpu.ops.sweep_theta import solve_sweep_staged
+    from raytracer_tpu.parallel.theta_shard import (
+        solve_sweep_staged_theta_sharded)
+    from raytracer_tpu.solvers import phases as ph
+
+    gr, A, halo = rt.init_annulus(16, 6, spacing=200.0)
+    prof = rt.velocity_profile("ak135")
+    U = rt.interpolate_velocity(gr.r, rt.LinearInterpolation(prof.r,
+                                                             prof.Vp))
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    k = ph.REFLECTORS["cmb"]
+    cg, ws, static, tables, lane, keep, halo_map = ph._phase_setup(
+        A, halo, gr, U, k, CFG, engine="sweep")
+    for reflected in (False, True):
+        stages = ph._phase_stages(static, tables, lane, keep, halo_map,
+                                  "sweep", reflected=reflected)
+        d_ref, _ = solve_sweep_staged(cg, ws, stages, [src], CFG,
+                                      interpret=True)
+        mesh = make_theta_mesh(jax.devices()[:4])
+        d_sh, _ = solve_sweep_staged_theta_sharded(cg, ws, stages, [src],
+                                                   CFG, mesh=mesh)
+        fin = np.isfinite(d_ref[0])
+        assert np.array_equal(fin, np.isfinite(d_sh[0]))
+        np.testing.assert_allclose(d_sh[0][fin], d_ref[0][fin], atol=TOL,
+                                   rtol=0,
+                                   err_msg=f"reflected={reflected}")
+
+
+def test_station_fields_sharded_matches_locator_fields():
+    """VERDICT r04 item 4: locate.station_fields sharded over devices
+    (station-axis DP x optional theta decomposition) equals the
+    single-device reciprocity fields the locator consumes."""
+    import jax
+
+    from raytracer_tpu.parallel.theta_shard import (make_grid_mesh,
+                                                    station_fields_sharded)
+    from raytracer_tpu.solvers.locate import station_fields
+
+    gr, A, halo = rt.init_annulus(24, 8, spacing=200.0)
+    prof = rt.velocity_profile("ak135")
+    U = rt.interpolate_velocity(gr.r, rt.LinearInterpolation(prof.r,
+                                                             prof.Vp))
+    cg = build_circulant(gr, A, halo, U)
+    stations = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+                for d in (20.0, 75.0, 130.0)]
+    solver = rt.AnnulusSolver(gr, A, halo, U, CFG, method="circulant")
+    F_ref = station_fields(solver, stations)
+    F_sh = station_fields_sharded(cg, stations, CFG,
+                                  mesh=make_grid_mesh(2, 2,
+                                                      jax.devices()[:4]))
+    np.testing.assert_allclose(F_sh, F_ref, atol=TOL, rtol=0)

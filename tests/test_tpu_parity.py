@@ -44,15 +44,19 @@ def _setup():
     return rt, gr, cg
 
 
-def run_on_chip():
-    """Execute the parity checks on the real TPU; raises on mismatch."""
+def run_on_chip(fast: bool = False):
+    """Execute the parity checks on the real TPU; raises on mismatch.
+
+    fast=True ("--fast", the bench.py probe mode) checks only the two
+    engines the benchmark ships (directional sweep + twrapped) against
+    the jnp circulant fixpoint - a ~4-program budget so the parity line
+    always lands inside the driver's bench wall-clock; the full battery
+    (9 engines + staged + banded) remains the default for standalone
+    runs."""
     import raytracer_tpu as rt
     from raytracer_tpu.config import R, SolverConfig
     from raytracer_tpu.ops.circulant import solve_circulant
-    from raytracer_tpu.ops.diag_circulant import solve_circulant_diag
-    from raytracer_tpu.contrib.pallas_circulant import solve_circulant_pallas
 
-    from raytracer_tpu.ops.diag_wrapped import solve_circulant_wrapped
     from raytracer_tpu.ops.wrapped_t import solve_circulant_twrapped
 
     rt_, gr, cg = _setup()
@@ -64,6 +68,22 @@ def run_on_chip():
     d_tw, it_t = solve_circulant_twrapped(cg, [src], F32, band_closure=1)
     np.testing.assert_allclose(d_tw[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3,
                                err_msg="theta-major kernel vs jnp circulant on TPU")
+
+    # directional-sweep solver (radial Pallas sweeps + closure scans)
+    from raytracer_tpu.ops.sweep_theta import solve_circulant_sweep
+
+    d_dsw, it_dsw = solve_circulant_sweep(cg, [src], F32, engine="pallas")
+    np.testing.assert_allclose(d_dsw[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3,
+                               err_msg="directional-sweep solver vs jnp circulant on TPU")
+
+    if fast:
+        print(f"TPU parity OK (fast): twrapped iters={it_t}, "
+              f"dir-sweep rounds={it_dsw}, n={ok.sum()} nodes compared")
+        return
+
+    from raytracer_tpu.ops.diag_circulant import solve_circulant_diag
+    from raytracer_tpu.contrib.pallas_circulant import solve_circulant_pallas
+    from raytracer_tpu.ops.diag_wrapped import solve_circulant_wrapped
 
     d_wr, it_w = solve_circulant_wrapped(cg, [src], F32)
     np.testing.assert_allclose(d_wr[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3,
@@ -86,13 +106,6 @@ def run_on_chip():
                                          warm_levels=2)
     np.testing.assert_allclose(d_sw[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3,
                                err_msg="warm-started streamed path on TPU")
-
-    # directional-sweep solver (radial Pallas sweeps + closure scans)
-    from raytracer_tpu.ops.sweep_theta import solve_circulant_sweep
-
-    d_dsw, it_dsw = solve_circulant_sweep(cg, [src], F32, engine="pallas")
-    np.testing.assert_allclose(d_dsw[0][ok], d_ref[ok], rtol=1e-6, atol=5e-3,
-                               err_msg="directional-sweep solver vs jnp circulant on TPU")
 
     # staged masked solve (the ms/multiphase/phases engine)
     prof = rt.velocity_profile()
@@ -156,4 +169,4 @@ if __name__ == "__main__":
     if not _tpu_available():
         print("SKIP: no TPU visible")
         sys.exit(0)
-    run_on_chip()
+    run_on_chip(fast="--fast" in sys.argv)
