@@ -29,7 +29,9 @@ CONFIGS = [(180, 63, 20.0), (1080, 300, 20.0), (1440, 400, 10.0),
            (2160, 600, 10.0), (2880, 800, 5.0), (4320, 1200, 5.0),
            (270, 63, 20.0),   # 6: the reference's 6-thread config
            (5760, 1600, 5.0),  # 7: ~12M nodes (edge stream ~1B, int32-safe)
-           (8640, 2400, 5.0)]  # 8: 20.9M nodes, lane-blocked sweep
+           (8640, 2400, 5.0),  # 8: 20.9M nodes, lane-blocked sweep
+           (11520, 3200, 5.0),  # 9: ~37M nodes (--fast only) - ceiling probe
+           (14400, 4000, 5.0)]  # 10: ~58M nodes (--fast only) - ceiling probe
 FAST = "--fast" in sys.argv
 sel = [int(a) for a in sys.argv[1:] if not a.startswith("-")] or [0, 1, 3]
 

@@ -228,11 +228,15 @@ def bench_refined_table(rows, root, cache_dir):
                               cache_dir=cache_dir)
 
     profile = (prof.r, prof.Vp)
+    # accuracy-grade bending density (ACCURACY.md 2e: m=384/quad=16 is
+    # where the functional's own quadrature error drops under 0.25 s;
+    # the m=128 default undershoots by up to ~0.8 s)
+    bend = dict(profile=profile, m=384, iters=1600, quad=16)
     # compile/warm: one source end to end
-    solver.refined_travel_times(sources[0], receivers, profile=profile)
+    solver.refined_travel_times(sources[0], receivers, **bend)
     t0 = time.time()
     tbl = np.stack([
-        solver.refined_travel_times(s, receivers, profile=profile)
+        solver.refined_travel_times(s, receivers, **bend)
         for s in sources])
     dt = time.time() - t0
     assert tbl.shape == (64, len(receivers)) and np.isfinite(tbl).all()
@@ -250,7 +254,7 @@ def bench_refined_table(rows, root, cache_dir):
     rows.append({
         "workload": "64-source REFINED travel-time table (bias-free)",
         "config": f"180x63 AK135, {len(receivers)} receivers, sweep solve"
-                  " + prev + bending (m=128, 800 Adam iters)",
+                  " + prev + bending (m=384, quad=16, 1600 Adam iters)",
         "ms_per_source": round(dt / 64 * 1e3),
         "total_s": round(dt, 2),
         "iters": solver.last_iterations,

@@ -401,7 +401,7 @@ class AnnulusSolver:
                              D: BellmanFordMoore = None,
                              profile=None,
                              m: int = 128, iters: int = 800,
-                             lr: float = 3.0) -> np.ndarray:
+                             lr: float = 3.0, quad: int = 8) -> np.ndarray:
         """(n_rec,) bending-refined first arrivals (solvers/refine.py):
         solve (or reuse D with prev), backtrace each receiver, bend the
         fan in one vmapped dispatch.
@@ -422,7 +422,8 @@ class AnnulusSolver:
         paths = [recontruct_path(D.prev, source, r) for r in receivers]
         pts = [np.stack([self.gr.x[p], self.gr.z[p]], axis=1)
                for p in paths]
-        _, t = refine_paths_batch(pts, rs, vs, m=m, iters=iters, lr=lr)
+        _, t = refine_paths_batch(pts, rs, vs, m=m, iters=iters, lr=lr,
+                                  quad=quad)
         return np.asarray(t)
 
     def travel_time_table(self, sources: Sequence[int], receivers: Sequence[int],
