@@ -230,14 +230,18 @@ def bench_refined_table(rows, root, cache_dir):
     profile = (prof.r, prof.Vp)
     # accuracy-grade bending density (ACCURACY.md 2e: m=384/quad=16 is
     # where the functional's own quadrature error drops under 0.25 s;
-    # the m=128 default undershoots by up to ~0.8 s)
+    # the m=128 default undershoots by up to ~0.8 s).  The whole
+    # 64x74-path fan bends in ONE batched chunked dispatch series
+    # (refined_travel_time_table): per-source bending would pay the
+    # full optimisation wall-clock 64 times (~95 s each on chip).
     bend = dict(profile=profile, m=384, iters=1600, quad=16)
-    # compile/warm: one source end to end
-    solver.refined_travel_times(sources[0], receivers, **bend)
+    # pass 1 pays every one-time cost (solve/prev/bend compiles at the
+    # full 4736-path batch shape); pass 2 is the steady-state number
     t0 = time.time()
-    tbl = np.stack([
-        solver.refined_travel_times(s, receivers, **bend)
-        for s in sources])
+    solver.refined_travel_time_table(sources, receivers, **bend)
+    log(f"refined table cold pass (incl. compiles): {time.time()-t0:.1f}s")
+    t0 = time.time()
+    tbl = solver.refined_travel_time_table(sources, receivers, **bend)
     dt = time.time() - t0
     assert tbl.shape == (64, len(receivers)) and np.isfinite(tbl).all()
     log(f"refined 64-source table: {dt:.2f}s = {dt/64*1e3:.0f} ms/source")
@@ -302,6 +306,22 @@ def main():
     if not rows:
         sys.exit("no workload produced a row (all methods unavailable); "
                  f"leaving {args.out} untouched")
+    # Crash tolerance: a workload that failed this run (e.g. a TPU worker
+    # restart mid-campaign) must not silently erase its previously
+    # published rows — carry over any old row whose workload name did not
+    # produce a fresh row this run.
+    if os.path.exists(args.out):
+        fresh = {r["workload"] for r in rows}
+        try:
+            with open(args.out, newline="") as f:
+                old = [r for r in csv.DictReader(
+                    line for line in f if not line.startswith("#"))]
+        except Exception:  # noqa: BLE001
+            old = []
+        for r in old:
+            if r.get("workload") and r["workload"] not in fresh:
+                log(f"carrying over prior row: {r['workload']}")
+                rows.append(r)
     with open(args.out, "w", newline="") as f:
         wr = csv.DictWriter(f, fieldnames=list(rows[0]))
         wr.writeheader()

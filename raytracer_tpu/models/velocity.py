@@ -26,8 +26,16 @@ from ..config import DISCONTINUITY_RADII, VELOCITY_BUFFER
 _DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
 
 _PROFILE_FILES = {
+    # NOTE the reference's own two tables are BOTH IASP91-generated
+    # (identity proof in models/iasp91.py); they are vendored unmodified
+    # for bit-parity with the reference (src/ShortestPath.jl:59-66).
     "ak135": "R_Vp_Vs_AK135.txt",
     "iasp91": "R_Vp_Vs_IASP91.txt",
+    # the GENUINE AK135 model (Kennett, Engdahl & Buland 1995 .tvel
+    # knots, 49.5 km spacing in the lower mantle/core) - what the
+    # reference's "AK135" table should have been; see the data file
+    # header and tests/test_ak135_true.py for provenance checks
+    "ak135-true": "AK135_tvel_Kennett1995.txt",
 }
 
 

@@ -426,6 +426,35 @@ class AnnulusSolver:
                                   quad=quad)
         return np.asarray(t)
 
+    def refined_travel_time_table(self, sources: Sequence[int],
+                                  receivers: Sequence[int],
+                                  profile=None, m: int = 384,
+                                  iters: int = 1600, lr: float = 3.0,
+                                  quad: int = 16) -> np.ndarray:
+        """(n_sources, n_receivers) bias-free first-arrival table: solve
+        + prev + backtrace per source, then bend the WHOLE table's path
+        fan (n_sources*n_receivers polylines) in one batched chunked
+        dispatch series (solvers/refine.py).  Per-source bending would
+        pay the full optimisation wall-clock n_sources times; batching
+        it amortises the device dispatches across the table, the same
+        shape the raw `travel_time_table` exploits.  Defaults are the
+        accuracy-grade bending config (m=384, quad=16: functional
+        quadrature error < 0.25 s, ACCURACY.md 2e)."""
+        from .locate import _radial_profile
+        from .path import recontruct_path
+        from .refine import refine_paths_batch
+
+        rs, vs = _radial_profile(profile, self.gr.r, self.U)
+        pts = []
+        for s in sources:
+            D = self.solve(int(s), want_prev=True)
+            for r in receivers:
+                p = recontruct_path(D.prev, int(s), int(r))
+                pts.append(np.stack([self.gr.x[p], self.gr.z[p]], axis=1))
+        _, t = refine_paths_batch(pts, rs, vs, m=m, iters=iters, lr=lr,
+                                  quad=quad)
+        return np.asarray(t).reshape(len(sources), len(receivers))
+
     def travel_time_table(self, sources: Sequence[int], receivers: Sequence[int],
                           batch: int = 8) -> np.ndarray:
         """(n_sources, n_receivers) first-arrival table (no predecessors).

@@ -51,10 +51,7 @@ def resample_path(points: np.ndarray, m: int) -> np.ndarray:
                      for d in range(points.shape[1])], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "quad", "lr"))
-def _bend_jit(P, rs, slo, lr, r_max, iters: int, quad: int):
-    free = jnp.ones((P.shape[0], 1), P.dtype).at[0].set(0.0).at[-1].set(0.0)
-
+def _make_ttime(rs, slo, quad: int):
     def ttime(P):
         A, B = P[:-1], P[1:]
         ts = jnp.linspace(0.5 / quad, 1.0 - 0.5 / quad, quad)
@@ -63,7 +60,19 @@ def _bend_jit(P, rs, slo, lr, r_max, iters: int, quad: int):
         s_q = jnp.interp(r, rs, slo)
         L = jnp.sqrt(jnp.sum((B - A) ** 2, axis=-1))
         return jnp.sum(L * jnp.mean(s_q, axis=1))
+    return ttime
 
+
+@functools.partial(jax.jit, static_argnames=("iters", "quad", "lr"))
+def _bend_scan_jit(carry, rs, slo, lr, r_max, iters: int, quad: int):
+    """One chunk of `iters` Adam steps on a bending carry.  The compiled
+    program depends only on (shape, iters, quad, lr): long optimisations
+    run as several dispatches of the SAME program, keeping each device
+    execution short (the tunnel worker kills very long single programs)
+    and the carry device-resident between calls."""
+    P0, state0, bestP0, bestT0 = carry
+    ttime = _make_ttime(rs, slo, quad)
+    free = jnp.ones((P0.shape[-2], 1), P0.dtype).at[0].set(0.0).at[-1].set(0.0)
     opt = optax.adam(lr)
 
     def step(carry, _):
@@ -82,11 +91,61 @@ def _bend_jit(P, rs, slo, lr, r_max, iters: int, quad: int):
         P = jnp.where(r > r_max, P * (r_max / r), P)
         return (P, state, bestP, bestT), None
 
-    init = (P, opt.init(P), P, ttime(P))
-    (P, _, bestP, bestT), _ = jax.lax.scan(step, init, None, length=iters)
-    tF = ttime(P)
+    carry, _ = jax.lax.scan(step, (P0, state0, bestP0, bestT0), None,
+                            length=iters)
+    return carry
+
+
+@functools.partial(jax.jit, static_argnames=("quad", "lr"))
+def _bend_init_jit(P, rs, slo, lr, quad: int):
+    return (P, optax.adam(lr).init(P), P, _make_ttime(rs, slo, quad)(P))
+
+
+@functools.partial(jax.jit, static_argnames=("quad",))
+def _bend_final_jit(carry, rs, slo, quad: int):
+    P, _, bestP, bestT = carry
+    tF = _make_ttime(rs, slo, quad)(P)
     better = tF < bestT
     return jnp.where(better, P, bestP), jnp.minimum(tF, bestT)
+
+
+# Batched (vmap over paths) variants of the same three programs.  rs /
+# slo / r_max broadcast; only the carry is mapped.
+_bend_init_vjit = functools.partial(jax.jit, static_argnames=("quad", "lr"))(
+    lambda P, rs, slo, lr, quad: jax.vmap(
+        lambda p: _bend_init_jit(p, rs, slo, lr, quad))(P))
+_bend_scan_vjit = functools.partial(
+    jax.jit, static_argnames=("iters", "quad", "lr"))(
+    lambda carry, rs, slo, lr, r_max, iters, quad: jax.vmap(
+        lambda c: _bend_scan_jit(c, rs, slo, lr, r_max, iters, quad))(carry))
+_bend_final_vjit = functools.partial(jax.jit, static_argnames=("quad",))(
+    lambda carry, rs, slo, quad: jax.vmap(
+        lambda c: _bend_final_jit(c, rs, slo, quad))(carry))
+
+# Per-dispatch iteration chunk: bounds single-program device wall-clock.
+# A monolithic scan over 1000+ iterations recompiles per distinct
+# `iters` AND can run long enough on the accuracy-grade configs
+# (m=384, quad=16) to hit the tunnel worker's per-execution limit,
+# which kills the TPU worker process.  Chunking reuses one compiled
+# program and keeps the carry device-resident between dispatches.
+_BEND_CHUNK = 200
+
+
+def _chunked_bend(init_fn, scan_fn, final_fn, P, rs, slo, lr, r_max,
+                  iters: int, quad: int, chunk: int = _BEND_CHUNK):
+    lr = float(lr)
+    carry = init_fn(P, rs, slo, lr, quad)
+    done = 0
+    while done < iters:
+        n = min(chunk, iters - done)
+        carry = scan_fn(carry, rs, slo, lr, r_max, n, quad)
+        done += n
+    return final_fn(carry, rs, slo, quad)
+
+
+def _bend_jit(P, rs, slo, lr, r_max, iters: int, quad: int):
+    return _chunked_bend(_bend_init_jit, _bend_scan_jit, _bend_final_jit,
+                         P, rs, slo, lr, r_max, iters, quad)
 
 
 def refine_path(points, profile_r, profile_v, iters: int = 800,
@@ -142,8 +201,7 @@ def refine_paths_batch(paths, profile_r, profile_v, m: int = 128,
     rs = jnp.asarray(np.asarray(profile_r, np.float64))
     slo = jnp.asarray(1.0 / np.maximum(np.asarray(profile_v, np.float64),
                                        1e-12))
-    fn = jax.vmap(lambda P: _bend_jit(P, rs, slo, float(lr),
-                                      jnp.asarray(float(r_max)),
-                                      iters, quad))
-    P, t = fn(jnp.asarray(stacked))
+    P, t = _chunked_bend(_bend_init_vjit, _bend_scan_vjit, _bend_final_vjit,
+                         jnp.asarray(stacked), rs, slo, float(lr),
+                         jnp.asarray(float(r_max)), iters, quad)
     return np.asarray(P), np.asarray(t)

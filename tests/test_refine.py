@@ -89,6 +89,53 @@ def test_solver_refined_travel_times(tiny_annulus, tiny_velocity, fan):
         assert abs(t_own[i] - anchor) < abs(t_spm - anchor)
 
 
+def test_solver_refined_table_matches_per_source(tiny_annulus,
+                                                 tiny_velocity, fan):
+    """refined_travel_time_table (one batched bend over the whole
+    sources x receivers fan) reproduces the per-source
+    refined_travel_times pipeline."""
+    gr, A, halo = tiny_annulus
+    _, prof, _ = fan
+    solver = rt.AnnulusSolver(gr, A, halo, tiny_velocity, F64,
+                              method="circulant")
+    srcs = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+            for d in (0.0, 120.0)]
+    recs = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+            for d in (40.0, 90.0)]
+    kw = dict(profile=(prof.r, prof.Vp), m=64, iters=200, quad=8)
+    tbl = solver.refined_travel_time_table(srcs, recs, **kw)
+    assert tbl.shape == (2, 2) and np.isfinite(tbl).all()
+    for i, s in enumerate(srcs):
+        t1 = solver.refined_travel_times(s, recs, **kw)
+        np.testing.assert_allclose(tbl[i], t1, rtol=1e-6)
+
+
+def test_bend_chunking_invariant(fan):
+    """The chunked optimiser (N dispatches of the same compiled scan
+    program) is step-for-step identical to one monolithic scan: chunk
+    size must not change the result."""
+    from raytracer_tpu.solvers.refine import (_bend_init_jit,
+                                              _bend_scan_jit,
+                                              _bend_final_jit,
+                                              _chunked_bend)
+    import jax.numpy as jnp
+
+    _, prof, rays = fan
+    pts, _, _ = rays[0]
+    P1, t1 = rt.refine_path(pts, prof.r, prof.Vp, m=48, iters=250)
+    # same optimisation forced through a different chunking
+    from raytracer_tpu.solvers.refine import resample_path
+    stacked = resample_path(np.asarray(pts, np.float64), 48)
+    rs = jnp.asarray(np.asarray(prof.r, np.float64))
+    slo = jnp.asarray(1.0 / np.maximum(np.asarray(prof.Vp, np.float64),
+                                       1e-12))
+    P2, t2 = _chunked_bend(_bend_init_jit, _bend_scan_jit,
+                           _bend_final_jit, jnp.asarray(stacked), rs, slo,
+                           3.0, jnp.asarray(float(R)), 250, 8, chunk=70)
+    np.testing.assert_allclose(float(t2), t1, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(P2), P1, rtol=1e-8, atol=1e-8)
+
+
 def test_resample_preserves_endpoints_and_length(fan):
     _, _, rays = fan
     pts, _, _ = rays[0]
