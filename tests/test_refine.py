@@ -124,16 +124,31 @@ def test_bend_chunking_invariant(fan):
     pts, _, _ = rays[0]
     P1, t1 = rt.refine_path(pts, prof.r, prof.Vp, m=48, iters=250)
     # same optimisation forced through a different chunking
-    from raytracer_tpu.solvers.refine import resample_path
+    from raytracer_tpu.solvers.refine import _uniform_slowness, resample_path
     stacked = resample_path(np.asarray(pts, np.float64), 48)
-    rs = jnp.asarray(np.asarray(prof.r, np.float64))
-    slo = jnp.asarray(1.0 / np.maximum(np.asarray(prof.Vp, np.float64),
-                                       1e-12))
+    r0, inv_dr, tab = _uniform_slowness(prof.r, prof.Vp)
+    sprof = (jnp.asarray(r0), jnp.asarray(inv_dr), tab)
     P2, t2 = _chunked_bend(_bend_init_jit, _bend_scan_jit,
-                           _bend_final_jit, jnp.asarray(stacked), rs, slo,
+                           _bend_final_jit, jnp.asarray(stacked), sprof,
                            3.0, jnp.asarray(float(R)), 250, 8, chunk=70)
     np.testing.assert_allclose(float(t2), t1, rtol=1e-10)
     np.testing.assert_allclose(np.asarray(P2), P1, rtol=1e-8, atol=1e-8)
+
+
+def test_degenerate_and_origin_paths_stay_finite(fan):
+    """A source==receiver path (all segments zero length) and a path
+    whose vertices pass through the exact origin must refine to FINITE
+    times (the 4736-path production table hit NaNs here: d(sqrt)/dx at
+    0 is NaN and jnp.minimum propagates it through best tracking)."""
+    _, prof, _ = fan
+    degen = np.repeat([[0.0, R]], 7, axis=0)       # single surface point
+    through0 = np.stack([np.linspace(-R, R, 9),
+                         np.zeros(9)], axis=1)      # crosses the origin
+    P, t = rt.refine_paths_batch([degen, through0], prof.r, prof.Vp,
+                                 m=32, iters=50)
+    assert np.isfinite(t).all(), t
+    assert abs(t[0]) < 1e-6                        # zero-length path
+    assert t[1] > 1000.0                           # a diametral ray
 
 
 def test_resample_preserves_endpoints_and_length(fan):
