@@ -430,7 +430,10 @@ class AnnulusSolver:
                                   receivers: Sequence[int],
                                   profile=None, m: int = 384,
                                   iters: int = 1600, lr: float = 3.0,
-                                  quad: int = 16) -> np.ndarray:
+                                  quad: int = 16,
+                                  multistart: bool = True,
+                                  multistart_max_deg: float = 32.0
+                                  ) -> np.ndarray:
         """(n_sources, n_receivers) bias-free first-arrival table: solve
         + prev + backtrace per source, then bend the WHOLE table's path
         fan (n_sources*n_receivers polylines) in one batched chunked
@@ -439,21 +442,46 @@ class AnnulusSolver:
         it amortises the device dispatches across the table, the same
         shape the raw `travel_time_table` exploits.  Defaults are the
         accuracy-grade bending config (m=384, quad=16: functional
-        quadrature error < 0.25 s, ACCURACY.md 2e)."""
+        quadrature error < 0.25 s, ACCURACY.md 2e).
+
+        multistart: bending is local - near branch crossovers (the Pn/Pg
+        crossover under ~10 deg, the 410/660 triplications at 14-28 deg)
+        the SPM first-arrival polyline can trap the optimiser on a
+        branch up to ~3 s slow.  For pairs closer than
+        `multistart_max_deg` this also bends critical-angle refraction
+        geometries per candidate interface (refine.refraction_inits)
+        at lr=1.0 and keeps the per-pair minimum - every candidate is an
+        upper bound on the true Fermat minimum, so min() only tightens."""
         from .locate import _radial_profile
         from .path import recontruct_path
-        from .refine import refine_paths_batch
+        from .refine import refine_paths_batch, refraction_inits
 
         rs, vs = _radial_profile(profile, self.gr.r, self.U)
-        pts = []
-        for s in sources:
+        nr_ = len(receivers)
+        pts, cand, cand_ix = [], [], []
+        max_sep = np.deg2rad(multistart_max_deg)
+        for si, s in enumerate(sources):
             D = self.solve(int(s), want_prev=True)
-            for r in receivers:
+            for ri, r in enumerate(receivers):
                 p = recontruct_path(D.prev, int(s), int(r))
                 pts.append(np.stack([self.gr.x[p], self.gr.z[p]], axis=1))
+                if multistart:
+                    p0, p1 = pts[-1][0], pts[-1][-1]
+                    th0 = np.arctan2(p0[0], p0[1])
+                    th1 = np.arctan2(p1[0], p1[1])
+                    sep = abs((th1 - th0 + np.pi) % (2 * np.pi) - np.pi)
+                    if 1e-9 < sep <= max_sep:
+                        for q in refraction_inits(p0, p1, rs, vs):
+                            cand.append(q)
+                            cand_ix.append(si * nr_ + ri)
         _, t = refine_paths_batch(pts, rs, vs, m=m, iters=iters, lr=lr,
                                   quad=quad)
-        return np.asarray(t).reshape(len(sources), len(receivers))
+        t = np.asarray(t).copy()
+        if cand:
+            _, tc = refine_paths_batch(cand, rs, vs, m=m, iters=iters,
+                                       lr=1.0, quad=quad)
+            np.minimum.at(t, np.asarray(cand_ix), np.asarray(tc))
+        return t.reshape(len(sources), nr_)
 
     def travel_time_table(self, sources: Sequence[int], receivers: Sequence[int],
                           batch: int = 8) -> np.ndarray:

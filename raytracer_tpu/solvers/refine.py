@@ -230,6 +230,68 @@ def _polyline_time(pts, profile_r, profile_v, quad: int = 8) -> float:
     return float(np.sum(L * slo.mean(axis=1)))
 
 
+def refraction_inits(p0, p1, profile_r, profile_v,
+                     depths=(35.0, 410.0, 660.0), n_leg: int = 12,
+                     n_flat: int = 24):
+    """Candidate refraction-branch (headwave-style) initial polylines
+    between two 2-D cartesian points.
+
+    Bending is a LOCAL optimiser: from the SPM first-arrival polyline it
+    converges to that branch's Fermat minimum, which near branch
+    crossovers is not the global first arrival (measured on the 180x63
+    production table: +3.2 s at 2 deg, where the true first arrival is
+    the Moho headwave Pn, and +0.55 s at 24 deg in the 660 triplication).
+    The classical cure is multi-start: also bend a critical-angle
+    refraction geometry per candidate interface - straight legs at
+    sin(i_c) = v_above/v_below down to just below the interface, a flat
+    segment along it - and keep the minimum.  Initialised this way the
+    2-deg arrival bends to within 0.01 s of the tau-p anchor.
+
+    Returns a (possibly empty) list of (k, 2) polylines, one per
+    geometrically feasible interface."""
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    pr = np.asarray(profile_r, np.float64)
+    pv = np.asarray(profile_v, np.float64)
+    R_top = float(pr.max())
+    r0 = float(np.hypot(*p0))
+    r1 = float(np.hypot(*p1))
+    th0 = float(np.arctan2(p0[0], p0[1]))
+    th1 = float(np.arctan2(p1[0], p1[1]))
+    delta = (th1 - th0 + np.pi) % (2 * np.pi) - np.pi
+    s = 1.0 if delta >= 0 else -1.0
+    adelta = abs(delta)
+    out = []
+    for depth in depths:
+        r_if = R_top - float(depth)
+        if min(r0, r1) < r_if + 5.0:      # an endpoint at/below the interface
+            continue
+        v_above = float(np.interp(r_if + 1.5, pr, pv))
+        v_below = float(np.interp(r_if - 1.5, pr, pv))
+        if v_below <= v_above:            # no fast side: no head wave
+            continue
+        ic = np.arcsin(v_above / v_below)
+        off0 = (r0 - r_if) * np.tan(ic) / r_if
+        off1 = (r1 - r_if) * np.tan(ic) / r_if
+        # exact critical-angle legs when they fit; otherwise (deep
+        # interfaces at triplication ranges, where tan(i_c) is large)
+        # clip each leg to 35% of the separation - the bend polishes
+        # the leg shape, the init only has to be on the right branch
+        if off0 + off1 >= adelta:
+            off0 = min(off0, 0.35 * adelta)
+            off1 = min(off1, 0.35 * adelta)
+        r_flat = r_if - 1.5               # inside the fast side
+        a1 = th0 + s * np.linspace(0.0, off0, n_leg)
+        a2 = th0 + s * np.linspace(off0, adelta - off1, n_flat)
+        a3 = th0 + s * np.linspace(adelta - off1, adelta, n_leg)
+        rr1 = np.linspace(r0, r_flat, n_leg)
+        rr3 = np.linspace(r_flat, r1, n_leg)
+        ang = np.concatenate([a1, a2[1:], a3[1:]])
+        rad = np.concatenate([rr1, np.full(n_flat - 1, r_flat), rr3[1:]])
+        out.append(np.stack([rad * np.sin(ang), rad * np.cos(ang)], axis=1))
+    return out
+
+
 # Max paths per bending dispatch series: a single (4736, 384, 16)
 # scan program faulted the TPU device outright; sub-batches bound both
 # the per-dispatch device time and the program's working set, and the

@@ -151,6 +151,59 @@ def test_degenerate_and_origin_paths_stay_finite(fan):
     assert t[1] > 1000.0                           # a diametral ray
 
 
+def test_refraction_inits_geometry_and_times(fan):
+    """Critical-angle refraction candidates: endpoints exactly
+    preserved, the Moho candidate at 2 deg starts within ~0.15 s of the
+    tau-p anchor (35.17 s: Pn IS the first arrival there, 3+ s below
+    the crustal branch the SPM path rides), and bending it converges to
+    < 0.05 s of the anchor."""
+    from raytracer_tpu.solvers.refine import (_polyline_time,
+                                              refine_path,
+                                              refraction_inits)
+    _, prof, _ = fan
+    th = np.deg2rad(2.0)
+    p0 = np.array([0.0, R])
+    p1 = np.array([R * np.sin(th), R * np.cos(th)])
+    cands = refraction_inits(p0, p1, prof.r, prof.Vp)
+    assert len(cands) >= 1            # at least the Moho head wave
+    anchor = float(ak135_first_arrivals([2.0])[0])
+    best0 = min(_polyline_time(c, prof.r, prof.Vp, 16) for c in cands)
+    assert abs(best0 - anchor) < 0.5, (best0, anchor)
+    for c in cands:
+        np.testing.assert_allclose(c[0], p0, atol=1e-9)
+        np.testing.assert_allclose(c[-1], p1, atol=1e-9)
+    # bending the best candidate lands essentially on the anchor
+    cbest = min(cands, key=lambda c: _polyline_time(c, prof.r, prof.Vp, 16))
+    _, tb = refine_path(cbest, prof.r, prof.Vp, m=256, iters=1200,
+                        lr=1.0, quad=16)
+    assert abs(tb - anchor) < 0.05, (tb, anchor)
+
+
+def test_refined_table_multistart_tightens(tiny_annulus, tiny_velocity,
+                                           fan):
+    """multistart=True can only tighten the refined table (min over
+    branch candidates), and does tighten the short-range pair where the
+    SPM init rides the slow crustal branch."""
+    gr, A, halo = tiny_annulus
+    _, prof, _ = fan
+    solver = rt.AnnulusSolver(gr, A, halo, tiny_velocity, F64,
+                              method="circulant")
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    recs = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+            for d in (4.0, 60.0)]
+    kw = dict(profile=(prof.r, prof.Vp), m=64, iters=400, quad=8)
+    t_plain = solver.refined_travel_time_table([src], recs,
+                                               multistart=False, **kw)
+    t_ms = solver.refined_travel_time_table([src], recs, **kw)
+    assert (t_ms <= t_plain + 1e-9).all(), (t_ms, t_plain)
+    # the close pair gains from the head-wave candidate; compare at the
+    # receiver NODE's true angular separation (closest_point snaps)
+    sep = np.rad2deg(abs(float(gr.theta[recs[0]]) - float(gr.theta[src])))
+    anchor = float(ak135_first_arrivals([sep])[0])
+    assert abs(t_ms[0, 0] - anchor) <= abs(t_plain[0, 0] - anchor) + 1e-9, \
+        (t_ms[0, 0], t_plain[0, 0], anchor, sep)
+
+
 def test_resample_preserves_endpoints_and_length(fan):
     _, _, rays = fan
     pts, _, _ = rays[0]
