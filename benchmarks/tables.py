@@ -268,8 +268,9 @@ def bench_refined_table(rows, root, cache_dir):
                   f"{int(fin.sum())} of {len(receivers)} receivers "
                   f"(raw SPM carries +2.5-3.6 s at this spacing, "
                   f"ACCURACY.md 2); pipeline = device solve + device "
-                  f"argmin prev + host backtrace + one vmapped bend "
-                  f"dispatch per source"),
+                  f"argmin prev + host backtrace + batched chunked "
+                  f"bend of the whole 4736-path fan + multi-start "
+                  f"refraction candidates under 32 deg"),
     })
 
 
