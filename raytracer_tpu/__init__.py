@@ -63,7 +63,8 @@ from .solvers.radius_stepping import radius_stepping
 from .solvers.path import (backtrace_paths, ray_parameters,
                            recontruct_path, reconstruct_path,
                            takeoff_angle)
-from .solvers.refine import refine_path, refine_paths_batch, resample_path
+from .solvers.refine import (refine_fan, refine_path, refine_paths_batch,
+                             refraction_inits, resample_path)
 from .solvers.sensitivity import (path_sensitivity, path_sensitivity_dual,
                                   sensitivity_coo, sensitivity_matrix)
 from .solvers.locate import (Location, Location3D, locate, locate3d,
@@ -167,7 +168,9 @@ __all__ = [
     "sensitivity_coo",
     "sensitivity_matrix",
     "refine_path",
+    "refine_fan",
     "refine_paths_batch",
+    "refraction_inits",
     "resample_path",
     "Location",
     "Location3D",

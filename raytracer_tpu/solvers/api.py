@@ -401,10 +401,13 @@ class AnnulusSolver:
                              D: BellmanFordMoore = None,
                              profile=None,
                              m: int = 128, iters: int = 800,
-                             lr: float = 3.0, quad: int = 8) -> np.ndarray:
+                             lr: float = 3.0, quad: int = 8,
+                             multistart: bool = True) -> np.ndarray:
         """(n_rec,) bending-refined first arrivals (solvers/refine.py):
         solve (or reuse D with prev), backtrace each receiver, bend the
-        fan in one vmapped dispatch.
+        fan in batched chunked dispatches; `multistart` additionally
+        bends refraction-branch candidates for close receivers and
+        keeps the minimum (cures branch trapping - ACCURACY.md 2e).
 
         profile: (radii, velocities) radial table for the continuous
         functional - pass the source model (e.g. the AK135 1-km table)
@@ -414,7 +417,7 @@ class AnnulusSolver:
         limit of THAT model (still strictly below the SPM time)."""
         from .locate import _radial_profile
         from .path import recontruct_path
-        from .refine import refine_paths_batch
+        from .refine import refine_fan
 
         if D is None:
             D = self.solve(source, want_prev=True)
@@ -422,9 +425,8 @@ class AnnulusSolver:
         paths = [recontruct_path(D.prev, source, r) for r in receivers]
         pts = [np.stack([self.gr.x[p], self.gr.z[p]], axis=1)
                for p in paths]
-        _, t = refine_paths_batch(pts, rs, vs, m=m, iters=iters, lr=lr,
-                                  quad=quad)
-        return np.asarray(t)
+        return refine_fan(pts, rs, vs, m=m, iters=iters, lr=lr,
+                          quad=quad, multistart=multistart)
 
     def refined_travel_time_table(self, sources: Sequence[int],
                                   receivers: Sequence[int],
@@ -454,34 +456,19 @@ class AnnulusSolver:
         upper bound on the true Fermat minimum, so min() only tightens."""
         from .locate import _radial_profile
         from .path import recontruct_path
-        from .refine import refine_paths_batch, refraction_inits
+        from .refine import refine_fan
 
         rs, vs = _radial_profile(profile, self.gr.r, self.U)
-        nr_ = len(receivers)
-        pts, cand, cand_ix = [], [], []
-        max_sep = np.deg2rad(multistart_max_deg)
-        for si, s in enumerate(sources):
+        pts = []
+        for s in sources:
             D = self.solve(int(s), want_prev=True)
-            for ri, r in enumerate(receivers):
+            for r in receivers:
                 p = recontruct_path(D.prev, int(s), int(r))
                 pts.append(np.stack([self.gr.x[p], self.gr.z[p]], axis=1))
-                if multistart:
-                    p0, p1 = pts[-1][0], pts[-1][-1]
-                    th0 = np.arctan2(p0[0], p0[1])
-                    th1 = np.arctan2(p1[0], p1[1])
-                    sep = abs((th1 - th0 + np.pi) % (2 * np.pi) - np.pi)
-                    if 1e-9 < sep <= max_sep:
-                        for q in refraction_inits(p0, p1, rs, vs):
-                            cand.append(q)
-                            cand_ix.append(si * nr_ + ri)
-        _, t = refine_paths_batch(pts, rs, vs, m=m, iters=iters, lr=lr,
-                                  quad=quad)
-        t = np.asarray(t).copy()
-        if cand:
-            _, tc = refine_paths_batch(cand, rs, vs, m=m, iters=iters,
-                                       lr=1.0, quad=quad)
-            np.minimum.at(t, np.asarray(cand_ix), np.asarray(tc))
-        return t.reshape(len(sources), nr_)
+        t = refine_fan(pts, rs, vs, m=m, iters=iters, lr=lr, quad=quad,
+                       multistart=multistart,
+                       multistart_max_deg=multistart_max_deg)
+        return t.reshape(len(sources), len(receivers))
 
     def travel_time_table(self, sources: Sequence[int], receivers: Sequence[int],
                           batch: int = 8) -> np.ndarray:

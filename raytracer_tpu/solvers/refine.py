@@ -292,6 +292,42 @@ def refraction_inits(p0, p1, profile_r, profile_v,
     return out
 
 
+def refine_fan(pts_list, profile_r, profile_v, m: int = 128,
+               iters: int = 800, lr: float = 3.0, quad: int = 8,
+               multistart: bool = True,
+               multistart_max_deg: float = 32.0) -> np.ndarray:
+    """(n,) refined times for a list of SPM polylines: bend the whole
+    fan batched; with `multistart` also bend critical-angle
+    refraction-branch candidates (refraction_inits) at lr=1.0 for
+    pairs separated by less than `multistart_max_deg` and keep the
+    per-path minimum.  Every candidate is an upper bound on the true
+    Fermat minimum, so min() only tightens — the cure for branch
+    trapping near the Pn crossover and the 410/660 triplications
+    (ACCURACY.md 2e)."""
+    cand, cand_ix = [], []
+    if multistart:
+        max_sep = np.deg2rad(multistart_max_deg)
+        for i, pts in enumerate(pts_list):
+            p0, p1 = np.asarray(pts[0]), np.asarray(pts[-1])
+            if p0.shape[0] != 2:
+                continue                   # 2-D annulus geometry only
+            th0 = np.arctan2(p0[0], p0[1])
+            th1 = np.arctan2(p1[0], p1[1])
+            sep = abs((th1 - th0 + np.pi) % (2 * np.pi) - np.pi)
+            if 1e-9 < sep <= max_sep:
+                for q in refraction_inits(p0, p1, profile_r, profile_v):
+                    cand.append(q)
+                    cand_ix.append(i)
+    _, t = refine_paths_batch(pts_list, profile_r, profile_v, m=m,
+                              iters=iters, lr=lr, quad=quad)
+    t = np.asarray(t).copy()
+    if cand:
+        _, tc = refine_paths_batch(cand, profile_r, profile_v, m=m,
+                                   iters=iters, lr=1.0, quad=quad)
+        np.minimum.at(t, np.asarray(cand_ix), np.asarray(tc))
+    return t
+
+
 # Max paths per bending dispatch series: a single (4736, 384, 16)
 # scan program faulted the TPU device outright; sub-batches bound both
 # the per-dispatch device time and the program's working set, and the
