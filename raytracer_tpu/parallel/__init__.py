@@ -19,5 +19,6 @@ from .multisource import (
     travel_time_table_sweep,
     travel_time_table_twrapped,
 )
+from .refine_shard import refine_paths_sharded
 from .theta_shard import THETA_AXIS, make_theta_mesh, solve_sweep_theta_sharded
 from .shard3d import SHARD3D_AXIS, make_shard3d_mesh, solve3d_sharded

@@ -169,3 +169,28 @@ def test_locate_with_sharded_station_fields(tiny_annulus, tiny_velocity):
     xy = np.array([gr.x[loc.node], gr.z[loc.node]])
     np.testing.assert_allclose(xy, [gr.x[true], gr.z[true]], atol=1.0)
     assert abs(loc.t0 - 3.0) < 1e-6
+
+
+def test_sharded_bend_matches_batch(tiny_annulus, tiny_velocity):
+    """refine_paths_sharded == refine_paths_batch on the 8-device mesh:
+    the bend stage of the refined table shards over the source axis
+    with zero collectives (paths independent); padding rows dropped."""
+    from raytracer_tpu.parallel import refine_paths_sharded
+
+    gr, A, halo = tiny_annulus
+    solver = rt.AnnulusSolver(gr, A, halo, tiny_velocity, F64,
+                              method="circulant")
+    prof = rt.velocity_profile("ak135")
+    src = rt.closest_point(gr, 0.0, R, system="polar")
+    D = solver.solve(src)
+    recs = [rt.closest_point(gr, np.deg2rad(d), R, system="polar")
+            for d in (30.0, 60.0, 90.0, 120.0, 150.0)]   # 5 paths: pads to 8
+    pts = [np.stack([gr.x[p], gr.z[p]], axis=1)
+           for p in (rt.recontruct_path(D.prev, src, r) for r in recs)]
+    kw = dict(m=48, iters=150, lr=3.0, quad=8)
+    Pb, tb = rt.refine_paths_batch(pts, prof.r, prof.Vp, **kw)
+    Ps, ts = refine_paths_sharded(pts, prof.r, prof.Vp,
+                                  mesh=make_mesh(), **kw)
+    assert ts.shape == (5,) and Ps.shape == Pb.shape
+    np.testing.assert_allclose(ts, tb, rtol=1e-6)
+    np.testing.assert_allclose(Ps, Pb, rtol=1e-5, atol=1e-5)
