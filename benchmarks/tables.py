@@ -288,21 +288,30 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     cache_dir = os.path.join(root, ".cache")
 
+    def attempt(name, fn):
+        """Run one workload; on a TPU worker crash wait for recovery
+        and retry ONCE (worker restarts take ~2-8 min and otherwise
+        cascade into every later workload failing fast)."""
+        for retry in (False, True):
+            try:
+                fn(rows, root, cache_dir)
+                return
+            except Exception as e:  # noqa: BLE001
+                crash = "UNAVAILABLE" in str(e) or "crashed" in str(e)
+                if crash and not retry:
+                    log(f"{name}: TPU worker crash ({type(e).__name__}); "
+                        "waiting 300 s for recovery, then retrying once")
+                    time.sleep(300)
+                    continue
+                log(f"{name} skipped: {type(e).__name__}: {e}")
+                return
+
     rows = []
     bench_table_64(rows, root, cache_dir)
-    try:
-        bench_refined_table(rows, root, cache_dir)
-    except Exception as e:  # noqa: BLE001
-        log(f"refined-table bench skipped: {type(e).__name__}: {e}")
-    try:
-        bench_multistage(rows, root, cache_dir)
-    except Exception as e:  # noqa: BLE001
-        log(f"multi-stage bench skipped: {type(e).__name__}: {e}")
+    attempt("refined-table bench", bench_refined_table)
+    attempt("multi-stage bench", bench_multistage)
     if not args.skip_3d:
-        try:
-            bench_3d(rows, root, cache_dir)
-        except Exception as e:  # noqa: BLE001
-            log(f"3-D bench skipped: {type(e).__name__}: {e}")
+        attempt("3-D bench", bench_3d)
 
     if not rows:
         sys.exit("no workload produced a row (all methods unavailable); "
