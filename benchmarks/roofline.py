@@ -48,7 +48,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import raytracer_tpu as rt
@@ -181,12 +183,23 @@ def main():
 
     import csv
 
+    if not rows:
+        sys.exit("no engine produced a row (all unavailable on this "
+                 "platform); leaving roofline.csv untouched")
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "roofline.csv")
     with open(out, "w", newline="") as f:
         wr = csv.DictWriter(f, fieldnames=list(rows[0]))
         wr.writeheader()
         wr.writerows(rows)
+        f.write(
+            "# achieved_GBps is the BYTE MODEL's traffic divided by the\n"
+            "# measured marginal iteration time; values above the 819 GB/s\n"
+            "# physical peak mean the modelled passes are actually served\n"
+            "# from VMEM between fused ops (the model upper-bounds HBM\n"
+            "# traffic) - the engine is pass-count-bound there, not\n"
+            "# HBM-bound.  Interpretation per engine: PERF_NOTES.md\n"
+            "# 'Round 5: throughput accounting'.\n")
     print(f"wrote {out}")
     print("| grid | nodes | engine | ms/iter | edge-relax/s | GB/s "
           "| % HBM peak |")

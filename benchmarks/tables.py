@@ -291,12 +291,16 @@ def main():
     def attempt(name, fn):
         """Run one workload; on a TPU worker crash wait for recovery
         and retry ONCE (worker restarts take ~2-8 min and otherwise
-        cascade into every later workload failing fast)."""
+        cascade into every later workload failing fast).  Rows a failed
+        attempt already appended are dropped before the retry so the
+        published CSV never carries duplicates."""
         for retry in (False, True):
+            n0 = len(rows)
             try:
                 fn(rows, root, cache_dir)
                 return
             except Exception as e:  # noqa: BLE001
+                del rows[n0:]
                 crash = "UNAVAILABLE" in str(e) or "crashed" in str(e)
                 if crash and not retry:
                     log(f"{name}: TPU worker crash ({type(e).__name__}); "
@@ -307,7 +311,7 @@ def main():
                 return
 
     rows = []
-    bench_table_64(rows, root, cache_dir)
+    attempt("64-source tables", bench_table_64)
     attempt("refined-table bench", bench_refined_table)
     attempt("multi-stage bench", bench_multistage)
     if not args.skip_3d:
@@ -318,10 +322,16 @@ def main():
                  f"leaving {args.out} untouched")
     # Crash tolerance: a workload that failed this run (e.g. a TPU worker
     # restart mid-campaign) must not silently erase its previously
-    # published rows — carry over any old row whose workload name did not
-    # produce a fresh row this run.
+    # published rows — carry over any old row whose (workload, config)
+    # pair did not produce a fresh row this run.  Keyed per-config, not
+    # per-workload: several workloads emit one row per method/engine
+    # under a shared workload name, and one failed engine must not drop
+    # its sibling's prior row.
+    def key(r):
+        return (r.get("workload", ""), r.get("config", ""))
+
     if os.path.exists(args.out):
-        fresh = {r["workload"] for r in rows}
+        fresh = {key(r) for r in rows}
         try:
             with open(args.out, newline="") as f:
                 old = [r for r in csv.DictReader(
@@ -329,19 +339,25 @@ def main():
         except Exception:  # noqa: BLE001
             old = []
         for r in old:
-            if r.get("workload") and r["workload"] not in fresh:
+            if r.get("workload") and key(r) not in fresh:
                 log(f"carrying over prior row: {r['workload']}")
                 rows.append(r)
-    with open(args.out, "w", newline="") as f:
-        wr = csv.DictWriter(f, fieldnames=list(rows[0]))
+    # atomic replace: DictWriter may reject a carried-over row with a
+    # stale schema, and open('w') on the target would have already
+    # truncated the previously published file
+    fields = list(rows[0])
+    tmp = args.out + ".tmp"
+    with open(tmp, "w", newline="") as f:
+        wr = csv.DictWriter(f, fieldnames=fields)
         wr.writeheader()
-        wr.writerows(rows)
+        wr.writerows({k: r.get(k, "") for k in fields} for r in rows)
         f.write(
             "# one TPU v5e chip, f32, steady-state (post-compile).\n"
             "# sharded multi-chip tables: parallel/multisource.py shard_map over\n"
             "# sources (validated on the virtual 8-device CPU mesh in\n"
             "# tests/test_parallel.py and the driver dryrun).\n"
         )
+    os.replace(tmp, args.out)
     print(f"wrote {args.out}")
 
 

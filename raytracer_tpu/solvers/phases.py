@@ -440,15 +440,20 @@ def depth_phase_travel_times(
         is_min = (np.isfinite(f) & (f <= fl) & (f <= fr)
                   & ((f < fl) | (f < fr)))
         # degenerate collapses: the receiver's own node (direct-arrival
-        # collapse) plus its two ring neighbours, where f decays
-        # monotonically into the collapse and f32 grid noise could flag
-        # a spurious "local minimum" a hair above the direct arrival;
-        # and the source's own node when the source sits on the surface
-        # (f(source)=direct arrival, documented to return inf)
-        rcv_pos = np.flatnonzero(surf == int(r_))
-        for pos in rcv_pos:
-            is_min[[pos, (pos - 1) % len(surf), (pos + 1) % len(surf)]] = False
+        # collapse) and the source's own node when the source sits on
+        # the surface (f(source)=direct arrival, documented to return
+        # inf).  Spurious f32-noise "minima" on the monotone slope
+        # collapsing into the receiver hover a hair above the direct
+        # arrival - reject by a margin floor rather than masking the
+        # receiver's ring neighbours, which at short epicentral
+        # distances would suppress a GENUINE bounce point sitting 1-2
+        # surface nodes away (a real pP is strictly later than the
+        # direct arrival by >= the two-way leg above the source, far
+        # above the margin at any resolvable source depth).
+        is_min[surf == int(r_)] = False
         is_min[surf == int(source)] = False
+        f_direct = max(float(t_src[int(r_)]), float(t_rcv[int(source)]))
+        is_min &= f > f_direct + max(0.05, 1e-4 * f_direct)
         out[j] = float(np.min(f[is_min])) if is_min.any() else np.inf
     return out
 
