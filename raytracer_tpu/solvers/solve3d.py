@@ -504,13 +504,12 @@ def _flat3d_it(dist, it):
 
 
 @functools.partial(jax.jit, static_argnames=("shifts",))
-def _prev3d_jit(dist3, W, src, shifts=SHIFTS):
-    """Predecessor tree from a converged field: per node, the neighbour
-    attaining min_s dist[nbr_s] + W[s] (the fixpoint condition; ties by
-    first shift).  Source and unreachable nodes point to themselves."""
+def _neighbour_argmin(dist3, W, shifts):
+    """(best, prev, ids): per node the neighbour attaining
+    min_s dist[nbr_s] + W[s] (the fixpoint condition; ties by first
+    shift).  Shared by the plain and stage-seeded prev recoveries."""
     shape = dist3.shape
-    n = dist3.size
-    ids = jnp.arange(n, dtype=jnp.int32).reshape(shape)
+    ids = jnp.arange(dist3.size, dtype=jnp.int32).reshape(shape)
     best = jnp.full(shape, jnp.inf, dist3.dtype)
     prev = ids
     for s, (dk, dj, di) in enumerate(shifts):
@@ -519,6 +518,13 @@ def _prev3d_jit(dist3, W, src, shifts=SHIFTS):
         take = cand < best
         best = jnp.where(take, cand, best)
         prev = jnp.where(take, nid, prev)
+    return best, prev, ids
+
+
+def _prev3d_jit(dist3, W, src, shifts=SHIFTS):
+    """Predecessor tree from a converged field (neighbour argmin).
+    Source and unreachable nodes point to themselves."""
+    best, prev, ids = _neighbour_argmin(dist3, W, shifts)
     prev = jnp.where(jnp.isfinite(best), prev, ids)
     return prev.reshape(-1).at[src].set(src.astype(jnp.int32))
 
@@ -931,17 +937,7 @@ def _prev3d_seeded_jit(dist3, W, shifts=SHIFTS):
     best neighbour candidate cannot explain its own time (its value came
     from SEEDING - a stage handoff plane, not relaxation) points to
     itself, so backtraces stop at the stage boundary."""
-    shape = dist3.shape
-    n = dist3.size
-    ids = jnp.arange(n, dtype=jnp.int32).reshape(shape)
-    best = jnp.full(shape, jnp.inf, dist3.dtype)
-    prev = ids
-    for s, (dk, dj, di) in enumerate(shifts):
-        cand = jnp.roll(dist3, (-dk, -dj, -di), axis=(0, 1, 2)) + W[s]
-        nid = jnp.roll(ids, (-dk, -dj, -di), axis=(0, 1, 2))
-        take = cand < best
-        best = jnp.where(take, cand, best)
-        prev = jnp.where(take, nid, prev)
+    best, prev, ids = _neighbour_argmin(dist3, W, shifts)
     eps = jnp.asarray(1e-3, dist3.dtype)
     explained = jnp.isfinite(best) & (best <= dist3 * (1 + 1e-5) + eps)
     prev = jnp.where(explained, prev, ids)
